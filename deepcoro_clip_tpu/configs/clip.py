@@ -120,9 +120,10 @@ class ClipConfig(BaseConfig):
     precision: str = "bf16"  # bf16 | fp32 compute (params always fp32)
     use_pallas_attention: bool = True  # Pallas flash-attn on TPU backend
     # video transformer architecture (used when model_name in {"mvit","vit"})
-    vit_dim: int = 384
+    # head_dim 128 = one full MXU/VPU lane tile per head
+    vit_dim: int = 512
     vit_depth: int = 12
-    vit_heads: int = 6
+    vit_heads: int = 4
     vit_patch: List[int] = field(default_factory=lambda: [2, 16, 16])
     vit_pool_stages: List[int] = field(default_factory=list)  # block idxs that pool 2x2 spatial
     rope_temporal_scale: float = 1.0

@@ -104,8 +104,8 @@ class LinearProbingConfig(BaseConfig):
     # ---- TPU-native additions ----
     precision: str = "bf16"
     use_pallas_attention: bool = True
-    vit_dim: int = 384
+    vit_dim: int = 512
     vit_depth: int = 12
-    vit_heads: int = 6
+    vit_heads: int = 4
     vit_patch: List[int] = field(default_factory=lambda: [2, 16, 16])
     vit_pool_stages: List[int] = field(default_factory=list)

@@ -1,0 +1,196 @@
+"""Contrastive losses over the GLOBAL batch.
+
+TPU-native translation of the reference's loss family
+(reference: utils/loss/contrastive.py, utils/loss/losses.py,
+utils/loss/siglip_pairwise.py, utils/loss/siglip2_bce.py):
+
+The reference needs a differentiable all_gather (``GatherLayer``,
+utils/loss/losses.py:70-102) so the NxN logit matrix spans the global DDP
+batch. Under pjit there is nothing to do: these functions are written over
+the global batch; with embeddings sharded on the mesh "data" axis, XLA
+inserts the all_gather over ICI and autodiff provides the reduce-scatter
+backward. Every loss reduces in fp32 (reference forces fp32 under AMP,
+utils/loss/contrastive.py:140).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deepcoro_clip_tpu.registry import LossRegistry
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def _ce_with_smoothing(logits: jax.Array, labels: jax.Array, smoothing: float):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    n = logits.shape[-1]
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if smoothing > 0.0:
+        uniform = -logp.mean(axis=-1)
+        nll = (1.0 - smoothing) * nll + smoothing * uniform
+    return nll
+
+
+@LossRegistry.register(
+    "contrastive", "clip", "contrastive_ddp", "infonce_loss", "infonce_loss_ddp",
+    "infonce",
+)
+def clip_loss(
+    video_emb: jax.Array,
+    text_emb: jax.Array,
+    log_temp: jax.Array,
+    label_smoothing: float = 0.0,
+) -> Dict[str, jax.Array]:
+    """Bidirectional InfoNCE over the global batch
+    (reference CLIPLoss, utils/loss/contrastive.py:108-164).
+
+    video_emb/text_emb: [B, D] (batch-sharded is fine); log_temp: scalar.
+    """
+    v = l2_normalize(video_emb)
+    t = l2_normalize(text_emb)
+    temp = jnp.maximum(jnp.exp(log_temp), 1e-4)  # clamp (reference :150)
+    sim = (v @ t.T) / temp  # [B, B] global
+    labels = jnp.arange(sim.shape[0])
+    loss_v = _ce_with_smoothing(sim, labels, label_smoothing).mean()
+    loss_t = _ce_with_smoothing(sim.T, labels, label_smoothing).mean()
+    loss = 0.5 * (loss_v + loss_t)
+    return {"loss": loss, "similarity": sim, "temperature": temp}
+
+
+@LossRegistry.register("siglip", "siglip_ddp")
+def siglip_pairwise_loss(
+    video_emb: jax.Array,
+    text_emb: jax.Array,
+    log_temp: jax.Array,
+    bias: jax.Array,
+    logit_clamp: float = 30.0,
+) -> Dict[str, jax.Array]:
+    """Square pairwise sigmoid loss, diagonal positives (SigLIP;
+    reference SiglipLoss, utils/loss/losses.py:160-276).
+    """
+    v = l2_normalize(video_emb)
+    t = l2_normalize(text_emb)
+    temp = jnp.maximum(jnp.exp(log_temp), 1e-4)
+    logits = (v @ t.T) / temp + bias
+    logits = jnp.clip(logits, -logit_clamp, logit_clamp)
+    B = logits.shape[0]
+    labels = 2.0 * jnp.eye(B) - 1.0  # +1 diag, -1 off-diag
+    loss = jnp.mean(jax.nn.softplus(-labels * logits))
+    return {"loss": loss, "similarity": logits, "temperature": temp}
+
+
+def entropy_regularization(sim: jax.Array, weight: float) -> jax.Array:
+    """Anti-collapse entropy regularizer over the similarity rows
+    (reference compute_entropy_regularization, utils/loss/contrastive.py:19-72)."""
+    if weight == 0.0:
+        return jnp.float32(0.0)
+    p = jax.nn.softmax(sim, axis=-1)
+    ent = -jnp.sum(p * jnp.log(jnp.clip(p, 1e-8)), axis=-1).mean()
+    max_ent = jnp.log(jnp.float32(sim.shape[-1]))
+    return weight * (max_ent - ent)
+
+
+@LossRegistry.register(
+    "siglip_pairwise", "siglip2_bce", "siglip2_bce_ddp", "siglip2_multi_positive",
+    "siglip_pairwise_ddp",
+)
+def siglip_multi_positive_loss(
+    video_emb: jax.Array,
+    text_emb: jax.Array,
+    positive_mask: jax.Array,
+    log_temp: jax.Array,
+    bias: jax.Array,
+    positive_weights: Optional[jax.Array] = None,
+    text_valid: Optional[jax.Array] = None,
+    positive_loss_weight: float = 1.0,
+    negative_loss_weight: float = 1.0,
+    logit_clamp: float = 30.0,
+    entropy_reg_weight: float = 0.0,
+    auto_balance: bool = False,
+) -> Dict[str, jax.Array]:
+    """Multi-positive sigmoid BCE against a unique-text bank.
+
+    video_emb: [B, D]; text_emb: [M, D] (deduped texts of the global batch,
+    reference collate: dataloaders/video_clip_dataset.py:843-944);
+    positive_mask: [B, M] 1 = positive pair; positive_weights: [B, M]
+    per-pair severity weights (reference SigLIPLoss,
+    utils/loss/contrastive.py:171-319); text_valid: [M] 0 for padded text
+    slots (fixed-shape batching on TPU).
+    """
+    v = l2_normalize(video_emb)
+    t = l2_normalize(text_emb)
+    temp = jnp.maximum(jnp.exp(log_temp), 1e-4)
+    logits = (v @ t.T) / temp + bias  # [B, M]
+    logits = jnp.clip(logits, -logit_clamp, logit_clamp)
+
+    pos = positive_mask.astype(jnp.float32)
+    labels = 2.0 * pos - 1.0
+    per_pair = jax.nn.softplus(-labels * logits)
+
+    w = jnp.where(pos > 0, positive_loss_weight, negative_loss_weight)
+    if positive_weights is not None:
+        w = w * jnp.where(pos > 0, positive_weights.astype(jnp.float32), 1.0)
+    if auto_balance:
+        n_pos = jnp.maximum(pos.sum(), 1.0)
+        n_neg = jnp.maximum((1.0 - pos).sum(), 1.0)
+        w = w * jnp.where(pos > 0, (n_pos + n_neg) / (2.0 * n_pos),
+                          (n_pos + n_neg) / (2.0 * n_neg))
+    if text_valid is not None:
+        w = w * text_valid.astype(jnp.float32)[None, :]
+
+    loss = jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1.0)
+    loss = loss + entropy_regularization(logits, entropy_reg_weight)
+    return {"loss": loss, "similarity": logits, "temperature": temp}
+
+
+@LossRegistry.register("weighted_siglip")
+def weighted_siglip_loss(
+    video_emb, text_emb, positive_mask, log_temp, bias,
+    positive_weights=None, **kw,
+):
+    """Normalized positive-weight BCE (reference WeightedSigLIPLoss,
+    utils/loss/weighted_siglip.py:6-50): positive weights normalised to mean 1
+    per video before the pairwise loss."""
+    if positive_weights is not None:
+        pos = positive_mask.astype(jnp.float32)
+        row_mean = jnp.sum(positive_weights * pos, axis=1, keepdims=True) / (
+            jnp.maximum(jnp.sum(pos, axis=1, keepdims=True), 1.0)
+        )
+        positive_weights = jnp.where(
+            pos > 0, positive_weights / jnp.maximum(row_mean, 1e-6), 1.0
+        )
+    return siglip_multi_positive_loss(
+        video_emb, text_emb, positive_mask, log_temp, bias,
+        positive_weights=positive_weights, **kw,
+    )
+
+
+@LossRegistry.register("multi_positive_infonce")
+def multi_positive_infonce_loss(
+    video_emb, text_emb, positive_mask, log_temp,
+    positive_weights=None, text_valid=None, **kw,
+) -> Dict[str, jax.Array]:
+    """Softmax CE spread over multiple positives (reference
+    MultiPositiveInfoNCELoss, utils/loss/multi_positive_infonce.py:9-120)."""
+    v = l2_normalize(video_emb)
+    t = l2_normalize(text_emb)
+    temp = jnp.maximum(jnp.exp(log_temp), 1e-4)
+    sim = (v @ t.T) / temp
+    if text_valid is not None:
+        sim = jnp.where(text_valid[None, :] > 0, sim, -1e30)
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    pos = positive_mask.astype(jnp.float32)
+    if positive_weights is not None:
+        pos = pos * positive_weights.astype(jnp.float32)
+    row_pos = jnp.maximum(pos.sum(axis=-1), 1e-6)
+    loss = -(jnp.sum(pos * logp, axis=-1) / row_pos)
+    has_pos = positive_mask.sum(axis=-1) > 0
+    loss = jnp.sum(loss * has_pos) / jnp.maximum(jnp.sum(has_pos), 1.0)
+    return {"loss": loss, "similarity": sim, "temperature": temp}

@@ -1,0 +1,187 @@
+"""Shared flax building blocks for the TPU-native model zoo.
+
+Design rules (TPU-first):
+- params fp32, compute bf16 (``dtype`` arg), softmax/norm statistics fp32 —
+  replaces the reference's AMP + fp32-forced-backbone discipline
+  (reference: models/video_encoder.py:543-563).
+- Dense kernels carry ``nn.with_partitioning`` metadata so tensor parallelism
+  over the mesh "model" axis is a sharding annotation, not new code
+  (new capability vs the reference's DDP-only design, SURVEY.md §2.2).
+- attention dispatches to the Pallas flash kernel on TPU
+  (ops/flash_attention.py) and the XLA oracle on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcoro_clip_tpu.ops.flash_attention import flash_attention
+
+Dtype = jnp.dtype
+
+
+def dense(
+    features: int,
+    partition: Tuple[Optional[str], Optional[str]] = (None, None),
+    use_bias: bool = True,
+    dtype=jnp.bfloat16,
+    name: Optional[str] = None,
+) -> nn.Dense:
+    """Dense with fp32 params, requested compute dtype, and TP metadata."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.with_partitioning(
+            nn.initializers.xavier_uniform(), partition
+        ),
+        name=name,
+    )
+
+
+class MlpBlock(nn.Module):
+    """Transformer MLP: Dense -> GELU -> Dense, hidden sharded over 'model'."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = dense(self.hidden_dim, (None, "model"), dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = dense(self.out_dim, ("model", None), dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self/cross attention on the flash kernel.
+
+    RoPE tables (sin/cos, numpy or jax arrays of shape [L, head_dim]) are
+    fused into the kernel. Heads are sharded over the 'model' mesh axis via
+    the qkv/proj kernel partitioning.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        sin=None,
+        cos=None,
+        kv_mask=None,
+        causal: bool = False,
+        deterministic: bool = True,
+    ):
+        head_dim = self.dim // self.num_heads
+        ctx = x if context is None else context
+        B, Lq, _ = x.shape
+        Lk = ctx.shape[1]
+
+        q = dense(self.dim, (None, "model"), dtype=self.dtype, name="q")(x)
+        k = dense(self.dim, (None, "model"), dtype=self.dtype, name="k")(ctx)
+        v = dense(self.dim, (None, "model"), dtype=self.dtype, name="v")(ctx)
+
+        def split(t, L):
+            return t.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q, Lq), split(k, Lk), split(v, Lk)
+
+        backend = "auto" if self.use_flash else "xla"
+        out = flash_attention(
+            q, k, v,
+            sin=None if sin is None else jnp.asarray(sin),
+            cos=None if cos is None else jnp.asarray(cos),
+            kv_mask=kv_mask,
+            causal=causal,
+            backend=backend,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
+        out = dense(self.dim, ("model", None), dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block (LN in fp32)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x, sin=None, cos=None, kv_mask=None, deterministic: bool = True
+    ):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + Attention(
+            self.dim, self.num_heads, self.dropout, self.dtype, self.use_flash,
+            name="attn",
+        )(h, sin=sin, cos=cos, kv_mask=kv_mask, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        x = x + MlpBlock(
+            int(self.dim * self.mlp_ratio), self.dim, self.dropout, self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        return x
+
+
+class ProjectionHead(nn.Module):
+    """Dropout -> Linear -> GELU -> Dropout projection to the shared embedding
+    space (reference: models/video_encoder.py:175-180, text_encoder.py:63-68)."""
+
+    out_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = dense(self.out_dim, (None, None), dtype=self.dtype, name="proj")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class PatchEmbed3D(nn.Module):
+    """3D conv patchify: [B, T, H, W, C] -> [B, T'·H'·W', dim].
+
+    The tubelet/patch conv is the MXU-friendly replacement of the reference's
+    MViT conv_proj patchify (reference: models/video_encoder.py:232-253).
+    """
+
+    dim: int
+    patch: Tuple[int, int, int] = (2, 16, 16)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pt, ph, pw = self.patch
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(pt, ph, pw),
+            strides=(pt, ph, pw),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        B, T, H, W, D = x.shape
+        return x.reshape(B, T * H * W, D), (T, H, W)

@@ -1,0 +1,340 @@
+"""Contrastive (CLIP / SigLIP) training step assembly.
+
+One jitted SPMD program per step over the device mesh: video + text forward,
+global-batch contrastive loss (XLA inserts the ICI all_gather), backward,
+per-group optimizer update, dynamic freeze-ratio masking — replacing the
+reference's DDP step (reference:
+runners/video_constrative_learning_runner.py:1212-1537: autocast fwd,
+GatherLayer loss, scaler.backward, clip_grad_norm_, log_temp all_reduce).
+
+bf16 compute / fp32 params; no GradScaler (bf16 needs none — the reference's
+AMP machinery is obsolete on TPU, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepcoro_clip_tpu.losses import contrastive as closs
+from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
+from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
+from deepcoro_clip_tpu.parallel.mesh import DATA_AXIS
+from deepcoro_clip_tpu.registry import LossRegistry
+from deepcoro_clip_tpu.train import optim as optim_lib
+from deepcoro_clip_tpu.train.schedulers import get_scheduler
+from deepcoro_clip_tpu.train.state import (
+    TrainState,
+    replicate_state,
+    to_named_shardings,
+    unbox_with_spec,
+)
+
+PyTree = Any
+
+MULTI_POSITIVE_LOSSES = {
+    "siglip_pairwise", "siglip2_bce", "siglip2_bce_ddp",
+    "siglip2_multi_positive", "siglip_pairwise_ddp", "weighted_siglip",
+    "multi_positive_infonce",
+}
+
+
+class ClipBundle(NamedTuple):
+    """Everything static needed to run contrastive training."""
+
+    config: Any
+    mesh: Mesh
+    video_model: Any
+    text_model: Any
+    tx: optax.GradientTransformation
+    schedule: Callable
+    param_spec: PyTree
+    video_fracs: PyTree   # freeze-order fractions (static per-leaf scalars)
+    text_fracs: PyTree
+    state_sharding: Any
+    batch_sharding_fn: Callable
+
+
+def _sample_batch(config, multi_positive: bool) -> Dict[str, np.ndarray]:
+    """Tiny host batch with the training shapes (for init/tracing)."""
+    B = 2
+    N = config.num_videos if config.multi_video else 1
+    T, S = config.frames, config.resize
+    batch = {
+        "videos": np.zeros((B, N, T, S, S, 3), np.float32),
+        "video_mask": np.ones((B, N), bool),
+        "input_ids": np.zeros((B, config.max_text_length), np.int32),
+        "attention_mask": np.ones((B, config.max_text_length), np.int32),
+    }
+    if multi_positive:
+        M = B * config.siglip_max_positive_per_video
+        batch["text_valid"] = np.ones((M,), np.float32)
+        batch["positive_mask"] = np.zeros((B, M), np.float32)
+        batch["positive_weights"] = np.ones((B, M), np.float32)
+        batch["input_ids"] = np.zeros((M, config.max_text_length), np.int32)
+        batch["attention_mask"] = np.ones((M, config.max_text_length), np.int32)
+    return batch
+
+
+def build_clip_bundle(
+    config, mesh: Mesh, rng: jax.Array, steps_per_epoch: int = 100
+) -> tuple[ClipBundle, TrainState]:
+    """Build models, params, optimizer, and the initial TrainState."""
+    multi_positive = config.loss_name.lower() in MULTI_POSITIVE_LOSSES
+
+    video_model = video_encoder_from_config(config)
+    text_model = text_encoder_from_config(config)
+
+    batch = _sample_batch(config, multi_positive)
+    rv, rt, rd = jax.random.split(rng, 3)
+    vvars = video_model.init(
+        {"params": rv, "dropout": rd},
+        jnp.asarray(batch["videos"]),
+        video_mask=jnp.asarray(batch["video_mask"]),
+    )
+    tvars = text_model.init(
+        {"params": rt, "dropout": rd},
+        jnp.asarray(batch["input_ids"]),
+        attention_mask=jnp.asarray(batch["attention_mask"]),
+    )
+
+    vparams, vspec = unbox_with_spec(vvars["params"])
+    tparams, tspec = unbox_with_spec(tvars["params"])
+
+    params = {
+        "video_encoder": vparams,
+        "text_encoder": tparams,
+        # learnable temperature (reference log_temperature param,
+        # projects/contrastive_pretraining_project.py:117-125)
+        "log_temp": jnp.log(jnp.float32(config.temperature)),
+        # SigLIP learnable bias, init -10 (reference utils/loss/contrastive.py:225-228)
+        "logit_bias": jnp.float32(config.siglip_bias_init),
+    }
+    param_spec = {
+        "video_encoder": vspec,
+        "text_encoder": tspec,
+        "log_temp": P(),
+        "logit_bias": P(),
+    }
+
+    schedule = get_scheduler(
+        config.scheduler_name,
+        config.lr,
+        steps_per_epoch,
+        config.epochs,
+        num_warmup_percent=config.num_warmup_percent,
+        factor=config.factor,
+        lr_step_period=config.lr_step_period,
+        num_hard_restarts_cycles=config.num_hard_restarts_cycles,
+        warm_restart_tmult=config.warm_restart_tmult,
+        gradient_accumulation_steps=config.gradient_accumulation_steps,
+    )
+    tx = optim_lib.make_clip_optimizer(config, schedule, params)
+    opt_state = tx.init(params)
+
+    state = TrainState(
+        step=jnp.int32(0),
+        params=params,
+        opt_state=opt_state,
+        best_val_loss=jnp.float32(np.inf),
+        best_epoch=jnp.int32(-1),
+    )
+
+    video_fracs = optim_lib.freeze_fractions(vparams)
+    text_fracs = optim_lib.freeze_fractions(tparams)
+
+    state_spec = TrainState(
+        step=P(), params=param_spec,
+        opt_state=jax.tree_util.tree_map(
+            lambda _: P(), opt_state,
+            is_leaf=lambda x: isinstance(x, jnp.ndarray) or hasattr(x, "shape"),
+        ),
+        best_val_loss=P(), best_epoch=P(),
+    )
+    state_sharding = to_named_shardings(mesh, state_spec)
+    state = jax.device_put(state, state_sharding)
+
+    def batch_sharding_fn(batch):
+        def put(x):
+            x = np.asarray(x)
+            # text bank in multi-positive mode is global (replicated)
+            return jax.device_put(
+                x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+            )
+
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if multi_positive and k in ("input_ids", "attention_mask", "text_valid"):
+                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+            else:
+                out[k] = put(v)
+        return out
+
+    bundle = ClipBundle(
+        config=config, mesh=mesh, video_model=video_model, text_model=text_model,
+        tx=tx, schedule=schedule, param_spec=param_spec,
+        video_fracs=video_fracs, text_fracs=text_fracs,
+        state_sharding=state_sharding, batch_sharding_fn=batch_sharding_fn,
+    )
+    return bundle, state
+
+
+def _forward_embeddings(bundle: ClipBundle, params, batch, rngs, deterministic):
+    v_emb = bundle.video_model.apply(
+        {"params": params["video_encoder"]},
+        batch["videos"],
+        video_mask=batch.get("video_mask"),
+        deterministic=deterministic,
+        rngs=rngs,
+    )
+    t_emb = bundle.text_model.apply(
+        {"params": params["text_encoder"]},
+        batch["input_ids"],
+        attention_mask=batch["attention_mask"],
+        deterministic=deterministic,
+        rngs=rngs,
+    )
+    return v_emb, t_emb
+
+
+def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
+    cfg = bundle.config
+    name = cfg.loss_name.lower()
+    v_emb, t_emb = _forward_embeddings(bundle, params, batch, rngs, deterministic)
+    # NaN sanitization (reference scrubs embeddings,
+    # runners/video_constrative_learning_runner.py:1236-1245)
+    v_emb = jnp.nan_to_num(v_emb)
+    t_emb = jnp.nan_to_num(t_emb)
+
+    if name in MULTI_POSITIVE_LOSSES:
+        fn = LossRegistry.get(name)
+        out = fn(
+            v_emb, t_emb,
+            positive_mask=batch["positive_mask"],
+            log_temp=params["log_temp"],
+            bias=params["logit_bias"],
+            positive_weights=batch.get("positive_weights"),
+            text_valid=batch.get("text_valid"),
+            positive_loss_weight=cfg.siglip_positive_loss_weight,
+            negative_loss_weight=cfg.siglip_negative_loss_weight,
+            logit_clamp=cfg.siglip_logit_clamp,
+            entropy_reg_weight=cfg.siglip_entropy_reg_weight,
+            auto_balance=cfg.siglip_auto_balance,
+        ) if name != "multi_positive_infonce" else fn(
+            v_emb, t_emb, batch["positive_mask"], params["log_temp"],
+            positive_weights=batch.get("positive_weights"),
+            text_valid=batch.get("text_valid"),
+        )
+    elif name in ("siglip", "siglip_ddp"):
+        out = closs.siglip_pairwise_loss(
+            v_emb, t_emb, params["log_temp"], params["logit_bias"],
+            logit_clamp=cfg.siglip_logit_clamp,
+        )
+    else:
+        out = closs.clip_loss(
+            v_emb, t_emb, params["log_temp"],
+            label_smoothing=cfg.label_smoothing,
+        )
+    out["video_emb"] = v_emb
+    out["text_emb"] = t_emb
+    return out
+
+
+def alignment_score(v_emb, t_emb):
+    """Mean diagonal cosine similarity (reference alignment metrics,
+    runners/video_constrative_learning_runner.py:1456-1537)."""
+    v = closs.l2_normalize(v_emb)
+    t = closs.l2_normalize(t_emb)
+    n = min(v.shape[0], t.shape[0])
+    return jnp.mean(jnp.sum(v[:n] * t[:n], axis=-1))
+
+
+def make_train_step(bundle: ClipBundle):
+    """The jitted SPMD train step.
+
+    signature: (state, batch, rng, video_freeze_ratio, text_freeze_ratio,
+    temp_override) -> (state, metrics). ``temp_override`` < 0 means "use the
+    learnable temperature"; otherwise log_temp is pinned to log(override)
+    (reference temperature schedules, runner :147-181).
+    """
+    cfg = bundle.config
+
+    def loss_fn(params, batch, rng, temp_override):
+        use_sched = temp_override > 0
+        lt = jnp.where(use_sched, jnp.log(jnp.maximum(temp_override, 1e-6)),
+                       params["log_temp"])
+        p = dict(params)
+        p["log_temp"] = lt
+        out = compute_loss(bundle, p, batch, {"dropout": rng}, deterministic=False)
+        return out["loss"], out
+
+    def step(state: TrainState, batch, rng, video_freeze_ratio,
+             text_freeze_ratio, temp_override):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, temp_override
+        )
+        # NaN-guard the gradients (reference NaN sentinels, runner :740-756)
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+
+        updates, opt_state = bundle.tx.update(grads, state.opt_state, state.params)
+        # dynamic partial freeze: zero updates for the frozen prefix
+        updates["video_encoder"] = optim_lib.apply_freeze_mask(
+            updates["video_encoder"], bundle.video_fracs, video_freeze_ratio
+        )
+        updates["text_encoder"] = optim_lib.apply_freeze_mask(
+            updates["text_encoder"], bundle.text_fracs, text_freeze_ratio
+        )
+        # pinned temperature: no log_temp learning
+        updates["log_temp"] = jnp.where(
+            temp_override > 0, 0.0, updates["log_temp"]
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {
+            "loss": loss,
+            "temperature": out["temperature"],
+            "alignment": alignment_score(out["video_emb"], out["text_emb"]),
+            "grad_norm": optim_lib.global_norm(grads),
+            "video_emb_norm": jnp.mean(
+                jnp.linalg.norm(out["video_emb"].astype(jnp.float32), axis=-1)
+            ),
+            "text_emb_norm": jnp.mean(
+                jnp.linalg.norm(out["text_emb"].astype(jnp.float32), axis=-1)
+            ),
+            "lr": bundle.schedule(state.step),
+        }
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(bundle.state_sharding, None, None, None, None, None),
+        out_shardings=(bundle.state_sharding, None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(bundle: ClipBundle):
+    """Jitted embedding forward for validation/inference (deterministic)."""
+
+    def step(params, batch):
+        out = compute_loss(
+            bundle, params, batch, rngs=None, deterministic=True
+        )
+        return {
+            "loss": out["loss"],
+            "video_emb": out["video_emb"],
+            "text_emb": out["text_emb"],
+            "alignment": alignment_score(out["video_emb"], out["text_emb"]),
+        }
+
+    return jax.jit(step)

@@ -1,0 +1,82 @@
+"""Learning-rate schedules (optax), keyed by the reference's scheduler names.
+
+Reference: utils/schedulers.py:8-106 — cosine, step, cosine_warm_restart,
+linear_warmup, cosine_with_warmup, cosine_with_hard_restarts_with_warmup.
+The reference steps "warmup" schedules per iteration and the rest per epoch
+(runners/video_constrative_learning_runner.py:257-268); here every schedule is
+a pure function of the global step (XLA-friendly), with per-epoch semantics
+expressed via floor(step / steps_per_epoch).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax.numpy as jnp
+import optax
+
+
+def get_scheduler(
+    name: str,
+    lr: float,
+    steps_per_epoch: int,
+    epochs: int,
+    *,
+    num_warmup_percent: float = 0.1,
+    factor: float = 0.3,
+    lr_step_period: int = 20,
+    num_hard_restarts_cycles: float = 1.0,
+    warm_restart_tmult: int = 2,
+    gradient_accumulation_steps: int = 1,
+) -> optax.Schedule:
+    total = max(1, steps_per_epoch * epochs // max(1, gradient_accumulation_steps))
+    warmup = max(1, int(total * num_warmup_percent))
+    name = (name or "cosine").lower()
+
+    if name == "cosine":
+        return optax.cosine_decay_schedule(lr, decay_steps=total)
+
+    if name == "step":
+        # per-epoch step decay: lr * factor^(epoch // period)
+        def sched(step):
+            epoch = jnp.floor_divide(step, steps_per_epoch)
+            return lr * factor ** (epoch // lr_step_period)
+
+        return sched
+
+    if name == "cosine_warm_restart":
+        # SGDR with T_0 derived from cycle count (reference: utils/schedulers.py)
+        t0 = max(1, int(total / max(num_hard_restarts_cycles, 1e-6)))
+        schedules = []
+        boundaries = []
+        t, start = t0, 0
+        while start < total:
+            schedules.append(optax.cosine_decay_schedule(lr, decay_steps=t))
+            start += t
+            boundaries.append(start)
+            t *= warm_restart_tmult
+        return optax.join_schedules(schedules, boundaries[:-1])
+
+    if name == "linear_warmup":
+        return optax.schedules.linear_schedule(0.0, lr, warmup)
+
+    if name == "cosine_with_warmup":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup, decay_steps=total
+        )
+
+    if name == "cosine_with_hard_restarts_with_warmup":
+        cycles = max(1, int(num_hard_restarts_cycles))
+        body = max(1, total - warmup)
+        per = max(1, body // cycles)
+        cyc = [
+            optax.cosine_decay_schedule(lr, decay_steps=per) for _ in range(cycles)
+        ]
+        bounds = [warmup + per * (i + 1) for i in range(cycles - 1)]
+        return optax.join_schedules(
+            [optax.schedules.linear_schedule(0.0, lr, warmup)] + cyc,
+            [warmup] + bounds,
+        )
+
+    raise ValueError(f"unknown scheduler_name {name!r}")
