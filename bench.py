@@ -1,0 +1,95 @@
+"""Benchmark: flagship CLIP pretraining throughput in clips/sec/chip.
+
+Measures the full jitted contrastive train step (video tower + text tower +
+global-batch loss + optimizer) on the flagship recipe — the TPU counterpart
+of the reference's default pretraining config (mvit_v2_s, 16 frames @224,
+batch 24, AMP; reference: config/clip/base_config.yaml:15-46).
+
+Baseline for ``vs_baseline``: the reference publishes NO throughput numbers
+(BASELINE.md). We estimate a single A100 running the reference recipe at
+~60 clips/sec: MViT-v2-S forward+backward is run in fp32 by the reference
+(models/video_encoder.py:543-563, ~64 GFLOPs/clip fwd => ~192 GFLOPs/clip
+train) plus a PubMedBERT tower at 512 tokens, against A100 TF32 peak
+156 TFLOP/s at ~25% utilisation for eager torch. The driver target is 2x
+A100, so vs_baseline = clips_per_sec / (2 * 60).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_CLIPS_PER_SEC_EST = 60.0
+TARGET = 2.0 * A100_CLIPS_PER_SEC_EST
+
+
+def main() -> None:
+    import jax
+
+    from deepcoro_clip_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from deepcoro_clip_tpu.flagship import flagship_config
+    from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.registry import register_all
+    from deepcoro_clip_tpu.train.clip import build_clip_bundle, make_train_step
+
+    register_all()
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    text_len = 512  # reference tokenizes reports at max_length=512
+
+    cfg = flagship_config(batch_size=batch, max_text_length=text_len)
+    mesh = make_mesh(MeshSpec(data=jax.device_count(), model=1))
+
+    bundle, state = build_clip_bundle(
+        cfg, mesh, jax.random.PRNGKey(0), steps_per_epoch=100
+    )
+    step_fn = make_train_step(bundle)
+
+    r = np.random.default_rng(0)
+    host_batch = {
+        "videos": r.normal(size=(batch, 1, cfg.frames, cfg.resize, cfg.resize, 3))
+        .astype(np.float32),
+        "video_mask": np.ones((batch, 1), bool),
+        "input_ids": r.integers(0, cfg.text_vocab_size, size=(batch, text_len))
+        .astype(np.int32),
+        "attention_mask": np.ones((batch, text_len), np.int32),
+    }
+    b = bundle.batch_sharding_fn(host_batch)
+
+    # compile + warmup
+    state, m = step_fn(state, b, jax.random.PRNGKey(0), 0.0, 0.0, -1.0)
+    jax.block_until_ready(m["loss"])
+    for i in range(3):
+        state, m = step_fn(state, b, jax.random.PRNGKey(i), 0.0, 0.0, -1.0)
+    jax.block_until_ready(m["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step_fn(state, b, jax.random.PRNGKey(i), 0.0, 0.0, -1.0)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    clips_per_sec = batch / dt / max(1, jax.device_count())
+    print(
+        json.dumps(
+            {
+                "metric": "clip_train_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(clips_per_sec / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Collation into fixed-shape device-ready numpy batches.
+
+Mirrors the reference collate functions (reference:
+dataloaders/video_clip_dataset.py:843-969 and video_dataset.py:426-505), with
+one TPU-specific rule: EVERY array in a batch has a static shape — padded
+slots are explicit masks (``video_mask``, ``text_valid``, ``sample_mask``)
+instead of the reference's variable-size gathers (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate_clip(
+    items: List[Dict[str, Any]],
+    tokenizer,
+    max_text_length: int = 512,
+) -> Dict[str, np.ndarray]:
+    """Plain CLIP mode: stacked videos + tokenized per-sample report
+    (reference :946-969)."""
+    videos = np.stack([it["videos"] for it in items])
+    mask = np.stack([it["video_mask"] for it in items])
+    enc = tokenizer(
+        [it["text"] for it in items],
+        max_length=max_text_length,
+        padding="max_length",
+        truncation=True,
+        return_tensors="np",
+    )
+    return {
+        "videos": videos,
+        "video_mask": mask,
+        "input_ids": np.asarray(enc["input_ids"], np.int32),
+        "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+        "texts": [it["text"] for it in items],
+        "paths": [it["paths"] for it in items],
+        "study_ids": [it.get("study_id", "") for it in items],
+    }
+
+
+def collate_multi_positive(
+    items: List[Dict[str, Any]],
+    tokenizer,
+    max_text_length: int = 512,
+    max_texts: int = 64,
+) -> Dict[str, np.ndarray]:
+    """SigLIP multi-positive mode (reference :843-944): dedup text ids across
+    the batch into a unique-text bank [M<=max_texts], build ``positive_mask``
+    [B, M] and ``positive_weights`` [B, M]. The bank is PADDED to exactly
+    ``max_texts`` (text_valid marks real slots) so XLA sees one shape.
+
+    Items must carry ``positives``: list of (text, weight).
+    """
+    B = len(items)
+    text_to_idx: Dict[str, int] = {}
+    bank: List[str] = []
+    pos = np.zeros((B, max_texts), np.float32)
+    w = np.ones((B, max_texts), np.float32)
+    dropped = 0
+    for i, it in enumerate(items):
+        for text, weight in it.get("positives", []):
+            j = text_to_idx.get(text)
+            if j is None:
+                if len(bank) >= max_texts:
+                    dropped += 1
+                    continue
+                j = len(bank)
+                text_to_idx[text] = j
+                bank.append(text)
+            pos[i, j] = 1.0
+            w[i, j] = np.float32(weight)
+        for text, weight in it.get("negatives", []):
+            j = text_to_idx.get(text)
+            if j is None:
+                if len(bank) >= max_texts:
+                    dropped += 1
+                    continue
+                j = len(bank)
+                text_to_idx[text] = j
+                bank.append(text)
+            # negative: pos stays 0; weight applies to the negative term
+            w[i, j] = np.float32(weight)
+
+    M = len(bank)
+    texts_padded = bank + [""] * (max_texts - M)
+    enc = tokenizer(
+        texts_padded,
+        max_length=max_text_length,
+        padding="max_length",
+        truncation=True,
+        return_tensors="np",
+    )
+    valid = np.zeros((max_texts,), np.float32)
+    valid[:M] = 1.0
+
+    out = {
+        "videos": np.stack([it["videos"] for it in items]),
+        "video_mask": np.stack([it["video_mask"] for it in items]),
+        "input_ids": np.asarray(enc["input_ids"], np.int32),
+        "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+        "positive_mask": pos,
+        "positive_weights": w,
+        "text_valid": valid,
+        "unique_texts": bank,
+        "paths": [it.get("paths", []) for it in items],
+        "n_dropped_texts": dropped,
+    }
+    return out
+
+
+def collate_mil(
+    items: List[Dict[str, Any]],
+    head_names: Sequence[str],
+) -> Dict[str, Any]:
+    """MIL/probing mode (reference video_dataset custom_collate_fn:426-505):
+    targets dict per head + optional view_ids."""
+    out: Dict[str, Any] = {
+        "videos": np.stack([it["videos"] for it in items]),
+        "video_mask": np.stack([it["video_mask"] for it in items]),
+        "targets": {
+            h: np.stack([np.asarray(it["targets"][h]) for it in items])
+            for h in head_names
+        },
+        "study_ids": [it.get("study_id", "") for it in items],
+        "paths": [it["paths"] for it in items],
+    }
+    if "view_ids" in items[0]:
+        out["view_ids"] = np.stack([it["view_ids"] for it in items])
+    return out
+
+
+def pad_batch(batch: Dict[str, Any], to_size: int) -> Dict[str, Any]:
+    """Pad a short final batch to the static batch size with a sample_mask
+    (keeps XLA shapes constant; the reference instead drops/duplicates,
+    runners/video_constrative_learning_runner.py:676-685)."""
+    first = batch["videos"]
+    n = first.shape[0]
+    if n == to_size:
+        batch["sample_mask"] = np.ones((to_size,), np.float32)
+        return batch
+    pad = to_size - n
+
+    def pad_arr(x):
+        if isinstance(x, dict):
+            return {k: pad_arr(v) for k, v in x.items()}
+        if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == n:
+            return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        return x
+
+    out = {k: pad_arr(v) for k, v in batch.items()}
+    out["sample_mask"] = np.concatenate(
+        [np.ones((n,), np.float32), np.zeros((pad,), np.float32)]
+    )
+    return out

@@ -1,0 +1,114 @@
+"""ctypes binding for the native fastvideo preprocessing library.
+
+Auto-builds ``native/libfastvideo.so`` on first use when a compiler is
+available (pybind11 is not in this image; ctypes keeps the boundary thin).
+All entry points degrade gracefully: ``available()`` is False when the
+library can't be built, and callers fall back to numpy/cv2.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SO_PATH = _NATIVE_DIR / "libfastvideo.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["sh", str(_NATIVE_DIR / "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO_PATH.exists() and os.environ.get("DEEPCORO_NO_NATIVE") != "1":
+        _build()
+    if not _SO_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+    except OSError:
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    c = ctypes.c_int
+    lib.fv_resize_bilinear.argtypes = [u8p, c, c, c, c, f32p, c, c]
+    lib.fv_sample_resize_normalize.argtypes = [
+        u8p, c, c, c, c, i64p, c, f32p, c, c, f32p, f32p, c,
+    ]
+    lib.fv_channel_stats.argtypes = [u8p, ctypes.c_int64, c, f64p, f64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def resize_bilinear(frames: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """[F,H,W,C] uint8 -> [F,oh,ow,C] float32."""
+    lib = _load()
+    assert lib is not None
+    frames = np.ascontiguousarray(frames, np.uint8)
+    F, H, W, C = frames.shape
+    out = np.empty((F, oh, ow, C), np.float32)
+    lib.fv_resize_bilinear(frames, F, H, W, C, out, oh, ow)
+    return out
+
+
+def sample_resize_normalize(
+    frames: np.ndarray,
+    idx: np.ndarray,
+    oh: int,
+    ow: int,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Fused gather+resize+normalize: [F,H,W,C] u8 + [n] idx -> [n,oh,ow,C] f32."""
+    lib = _load()
+    assert lib is not None
+    frames = np.ascontiguousarray(frames, np.uint8)
+    F, H, W, C = frames.shape
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = np.empty((len(idx), oh, ow, C), np.float32)
+    do_norm = mean is not None
+    m = np.ascontiguousarray(mean if do_norm else np.zeros(C), np.float32)
+    s = np.ascontiguousarray(std if std is not None else np.ones(C), np.float32)
+    lib.fv_sample_resize_normalize(
+        frames, F, H, W, C, idx, len(idx), out, oh, ow, m, s, int(do_norm)
+    )
+    return out
+
+
+def channel_stats(frames: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Returns (sum[C], sumsq[C], n_pixels) over a uint8 array [..., C]."""
+    lib = _load()
+    assert lib is not None
+    frames = np.ascontiguousarray(frames, np.uint8)
+    C = frames.shape[-1]
+    n = int(frames.size // C)
+    s = np.zeros(C, np.float64)
+    ss = np.zeros(C, np.float64)
+    lib.fv_channel_stats(frames.reshape(-1, C), n, C, s, ss)
+    return s, ss, n

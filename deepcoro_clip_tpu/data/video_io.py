@@ -1,0 +1,162 @@
+"""Host-side video decode -> frame-sample -> resize -> normalize.
+
+Behavioral spec from the reference ``load_video`` (reference:
+utils/video.py:140-299): ``.npy`` fast path (:174-181), stride subsampling
+(:191-192), BGR->RGB + grayscale->3ch (:215-224), pad-last-frame or linspace
+subsample to the expected frame count (:247-254), resize (:256-258), optional
+light augmentation, per-channel normalize (:278-288); returns
+``[F, H, W, C]`` float32.
+
+TPU-first split of responsibilities: decode + frame selection + resize happen
+here on the host (cv2 when available); normalization is FUSED INTO THE DEVICE
+STEP whenever possible (the train step normalizes on-TPU so the PCIe transfer
+can carry uint8). The C++ `native/fastvideo` kernel accelerates the
+resize+sample hot path when built.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+    cv2.setNumThreads(0)
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+from deepcoro_clip_tpu.data import fastvideo_binding as _fast
+
+
+def _decode_container(path: str, max_frames: int = 1024) -> np.ndarray:
+    """Decode a video container to [F, H, W, 3] uint8 (RGB)."""
+    if not _HAS_CV2:
+        raise RuntimeError("cv2 unavailable; only .npy/.npz clips supported")
+    cap = cv2.VideoCapture(path, cv2.CAP_FFMPEG)
+    if not cap.isOpened():
+        cap = cv2.VideoCapture(path)
+    frames = []
+    try:
+        while len(frames) < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if frame.ndim == 2:
+                frame = frame[:, :, None]
+            if frame.shape[2] == 1:
+                frame = np.repeat(frame, 3, axis=2)
+            else:
+                frame = frame[:, :, ::-1]  # BGR -> RGB
+            frames.append(frame)
+    finally:
+        cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
+def _load_raw(path: str) -> np.ndarray:
+    """[F, H, W, C] uint8/float; .npy/.npz direct path (reference :174-181)."""
+    suffix = Path(path).suffix.lower()
+    if suffix == ".npy":
+        arr = np.load(path)
+    elif suffix == ".npz":
+        with np.load(path) as z:
+            arr = z[list(z.keys())[0]]
+    else:
+        arr = _decode_container(path)
+    arr = np.asarray(arr)
+    if arr.ndim == 3:  # [F, H, W] grayscale
+        arr = arr[..., None]
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    return arr
+
+
+def sample_frame_indices(
+    total: int, n_frames: int, stride: int, rng: Optional[np.random.Generator]
+) -> np.ndarray:
+    """Stride subsample with random phase in training, then pad-last /
+    linspace to exactly n_frames (reference :191-192, :247-254)."""
+    idx = np.arange(0, total, max(1, stride))
+    if rng is not None and stride > 1 and total > stride:
+        phase = int(rng.integers(0, stride))
+        idx = np.arange(phase, total, stride)
+    if len(idx) >= n_frames:
+        if rng is not None and len(idx) > n_frames:
+            start = int(rng.integers(0, len(idx) - n_frames + 1))
+            idx = idx[start : start + n_frames]
+        else:
+            idx = idx[np.linspace(0, len(idx) - 1, n_frames).round().astype(int)]
+    else:
+        pad = np.full(n_frames - len(idx), idx[-1] if len(idx) else 0)
+        idx = np.concatenate([idx, pad])
+    return idx.astype(np.int64)
+
+
+def _resize_frames(frames: np.ndarray, size: int) -> np.ndarray:
+    if frames.shape[1] == size and frames.shape[2] == size:
+        return frames
+    if _fast.available():
+        return _fast.resize_bilinear(frames, size, size)
+    if _HAS_CV2:
+        return np.stack(
+            [cv2.resize(f, (size, size), interpolation=cv2.INTER_LINEAR)
+             for f in frames]
+        )
+    # numpy bilinear fallback
+    F, H, W, C = frames.shape
+    ys = np.linspace(0, H - 1, size)
+    xs = np.linspace(0, W - 1, size)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    f = frames.astype(np.float32)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def augment_frames(frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Light stochastic augmentation (stand-in for the reference's
+    RandAugment(magnitude=9, num_ops=2), utils/video.py:260-276): random
+    brightness/contrast jitter + horizontal flip, applied per-clip."""
+    f = frames.astype(np.float32)
+    if rng.random() < 0.5:
+        f = f[:, :, ::-1, :]
+    f = f * rng.uniform(0.8, 1.2) + rng.uniform(-20, 20)
+    return np.clip(f, 0, 255)
+
+
+def load_video(
+    path: str,
+    n_frames: int = 16,
+    resize: int = 224,
+    stride: int = 1,
+    mean: Optional[Sequence[float]] = None,
+    std: Optional[Sequence[float]] = None,
+    rand_augment: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Returns [n_frames, resize, resize, 3] float32 (reference contract)."""
+    raw = _load_raw(path)
+    idx = sample_frame_indices(raw.shape[0], n_frames, stride, rng)
+    frames = raw[idx]
+    frames = _resize_frames(frames, resize).astype(np.float32)
+    if rand_augment and rng is not None:
+        frames = augment_frames(frames, rng)
+    if normalize:
+        m = np.asarray(mean if mean is not None else [0.0] * 3, np.float32)
+        s = np.asarray(std if std is not None else [1.0] * 3, np.float32)
+        frames = (frames - m) / np.maximum(s, 1e-6)
+    return np.ascontiguousarray(frames, dtype=np.float32)

@@ -1,0 +1,456 @@
+"""Contrastive (CLIP / SigLIP) runner: epoch driver, validation retrieval,
+checkpointing, inference.
+
+TPU-native rebuild of the reference's ``VideoContrastiveLearningRunner``
+(reference: runners/video_constrative_learning_runner.py:47-1826):
+- train(): temperature + freeze schedules per epoch (:147-255), epoch-seeded
+  sampling (:342-345), train epoch -> val epoch -> best/latest/alignment
+  checkpoints (:385-430), early stopping (:450-459), NaN-loss save-and-raise
+  (:478-492);
+- validation: embedding accumulation, text dedup, unique-text re-encode in
+  fixed-size batches (:904-941), NxM similarity + Recall@k/MRR/MAP/NDCG/
+  MedianRank (:982-999), CSV/npz artifacts (:1001-1017);
+- inference(): precomputed text-embedding bank + metadata -> top-k averaged
+  metadata CSV (:1731-1826).
+
+Differences by design: one SPMD process (no rank gathers — the device mesh
+sees the global batch); fixed-shape batches with sample masks instead of
+variable-size gathers; orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from deepcoro_clip_tpu.data.collate import collate_clip, collate_multi_positive
+from deepcoro_clip_tpu.data.datasets import StatsDataset, VideoClipDataset
+from deepcoro_clip_tpu.data.loader import PrefetchLoader
+from deepcoro_clip_tpu.data.sampler import ShardedBatchSampler
+from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
+from deepcoro_clip_tpu.parallel.mesh import make_mesh, MeshSpec
+from deepcoro_clip_tpu.registry import RunnerRegistry
+from deepcoro_clip_tpu.train import clip as clip_train
+from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
+from deepcoro_clip_tpu.train.run_schedules import freeze_ratio_at, temperature_at
+from deepcoro_clip_tpu.utils.logging_utils import MetricsLogger
+from deepcoro_clip_tpu.utils.retrieval_metrics import (
+    compute_alignment_score,
+    compute_retrieval_metrics,
+    gt_matrix_from_text_ids,
+)
+
+
+class NonFiniteLossError(RuntimeError):
+    """Reference: runners/video_constrative_learning_runner_simple.py:44-51."""
+
+
+@RunnerRegistry.register("DeepCORO_clip", "DeepCORO_clip_simple")
+class VideoContrastiveLearningRunner:
+    def __init__(
+        self,
+        config,
+        output_dir: Optional[str] = None,
+        mesh=None,
+        datasets: Optional[Dict[str, Any]] = None,
+    ):
+        self.config = config
+        self.output_dir = Path(output_dir or config.output_dir)
+        if mesh is None:
+            # data axis must divide the global batch for exact (unpadded)
+            # training batches; shrink it to the gcd when needed
+            import jax as _jax
+            import math as _math
+
+            model = max(1, config.mesh_model)
+            avail = _jax.device_count() // model
+            data = config.mesh_data if config.mesh_data > 0 else avail
+            data = _math.gcd(data, config.batch_size) or 1
+            mesh = make_mesh(MeshSpec(data=data, model=model))
+        self.mesh = mesh
+        self.tokenizer = get_tokenizer(
+            vocab_size=config.text_vocab_size, max_length=config.max_text_length
+        )
+        self.multi_positive = (
+            config.loss_name.lower() in clip_train.MULTI_POSITIVE_LOSSES
+        )
+
+        self.datasets = datasets if datasets is not None else self._build_datasets()
+        self._resolve_stats()
+        self.loaders = {
+            split: self._make_loader(ds, split == "train")
+            for split, ds in self.datasets.items()
+            if ds is not None
+        }
+
+        steps_per_epoch = max(1, len(self.loaders.get("train", [])) or 1)
+        self.bundle, self.state = clip_train.build_clip_bundle(
+            config, self.mesh, jax.random.PRNGKey(config.seed),
+            steps_per_epoch=steps_per_epoch,
+        )
+        self.train_step = clip_train.make_train_step(self.bundle)
+        self.eval_step = clip_train.make_eval_step(self.bundle)
+        self._text_encode = jax.jit(
+            lambda params, ids, mask: self.bundle.text_model.apply(
+                {"params": params["text_encoder"]}, ids, attention_mask=mask,
+                deterministic=True,
+            )
+        )
+        self.ckpt = CheckpointManager(self.output_dir / "checkpoints")
+        self.logger = MetricsLogger(
+            self.output_dir, use_wandb=config.use_wandb, config=config,
+            is_ref_device=config.is_ref_device,
+        )
+        self.best_val_loss = math.inf
+        self.best_epoch = -1
+        self.highest_alignment = -math.inf
+        self.start_epoch = 0
+
+    # ------------------------------------------------------------------ #
+    # setup
+    # ------------------------------------------------------------------ #
+
+    def _build_datasets(self) -> Dict[str, Any]:
+        cfg = self.config
+        common = dict(
+            data_filename=cfg.data_filename,
+            root=cfg.root,
+            split_column=cfg.split_column,
+            datapoint_loc_label=cfg.datapoint_loc_label,
+            target_label=cfg.target_label,
+            multi_video=cfg.multi_video,
+            num_videos=cfg.num_videos,
+            groupby_column=cfg.groupby_column,
+            shuffle_videos=cfg.shuffle_videos,
+            frames=cfg.frames,
+            stride=cfg.stride,
+            resize=cfg.resize,
+            seed=cfg.seed,
+        )
+        out: Dict[str, Any] = {}
+        if cfg.run_mode == "train":
+            out["train"] = VideoClipDataset(
+                split="train", rand_augment=cfg.rand_augment, **common
+            )
+            try:
+                out["val"] = VideoClipDataset(split="val", **common)
+            except Exception:
+                out["val"] = None
+        else:
+            out[cfg.run_mode] = VideoClipDataset(split=cfg.run_mode, **common)
+        return out
+
+    def _resolve_stats(self) -> None:
+        """Dataset mean/std: config override or computed from the train split
+        (reference: utils/video_project.py:10-101; inference REQUIRES
+        precomputed stats, :38-43)."""
+        cfg = self.config
+        mean = cfg.dataset_mean or cfg.data_mean
+        std = cfg.dataset_std or cfg.data_std
+        if mean is None:
+            train = self.datasets.get("train")
+            if train is None:
+                raise ValueError(
+                    "dataset_mean/dataset_std must be provided for "
+                    f"run_mode={cfg.run_mode!r} (reference requires precomputed "
+                    "stats outside training)"
+                )
+            mean, std = StatsDataset(train).compute()
+            mean, std = mean.tolist(), std.tolist()
+        self.stats = (list(map(float, mean)), list(map(float, std)))
+        for ds in self.datasets.values():
+            if ds is not None:
+                ds.mean, ds.std = self.stats
+
+    def _collate(self, items):
+        if self.multi_positive:
+            return collate_multi_positive(
+                items, self.tokenizer,
+                max_text_length=self.config.max_text_length,
+                max_texts=self.config.batch_size
+                * self.config.siglip_max_positive_per_video,
+            )
+        return collate_clip(
+            items, self.tokenizer, max_text_length=self.config.max_text_length
+        )
+
+    def _make_loader(self, dataset, training: bool):
+        if dataset is None:
+            return None
+        cfg = self.config
+        sampler = ShardedBatchSampler(
+            len(dataset), cfg.batch_size, shuffle=training, seed=cfg.seed,
+            drop_last=training,
+            process_index=cfg.process_index, process_count=cfg.process_count,
+        )
+        return PrefetchLoader(
+            dataset, sampler, self._collate, num_workers=max(1, cfg.num_workers)
+        )
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+
+    def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None) -> Dict:
+        cfg = self.config
+        end_epoch = end_epoch if end_epoch is not None else cfg.epochs
+        patience_left = cfg.early_stopping_patience or math.inf
+        history = []
+
+        for epoch in range(start_epoch, end_epoch):
+            temp = temperature_at(
+                epoch, cfg.epochs, cfg.temp_schedule, cfg.temperature,
+                cfg.temp_start, cfg.temp_end,
+            )
+            vfr = freeze_ratio_at(
+                epoch, cfg.epochs, cfg.video_freeze_ratio, cfg.video_freeze_schedule
+            )
+            tfr = freeze_ratio_at(
+                epoch, cfg.epochs, cfg.text_freeze_ratio, cfg.text_freeze_schedule
+            )
+
+            train_metrics = self._run_train_epoch(epoch, temp, vfr, tfr)
+            self.logger.log({f"train/{k}": v for k, v in train_metrics.items()},
+                            step=epoch)
+
+            val_metrics: Dict[str, float] = {}
+            if self.loaders.get("val") is not None:
+                val_metrics = self.validate(epoch)
+                self.logger.log({f"val/{k}": v for k, v in val_metrics.items()},
+                                step=epoch)
+
+            history.append({"epoch": epoch, **train_metrics,
+                            **{f"val_{k}": v for k, v in val_metrics.items()}})
+
+            # ---- checkpoint policies (reference :385-430) ----
+            meta = {
+                "epoch": epoch,
+                "train_loss": train_metrics.get("loss"),
+                "val_loss": val_metrics.get("loss"),
+                "alignment": val_metrics.get("alignment"),
+                "temperature": train_metrics.get("temperature"),
+                "best_val_loss": self.best_val_loss,
+                "dataset_mean": self.stats[0],
+                "dataset_std": self.stats[1],
+            }
+            if self.config.is_ref_device:
+                self.ckpt.save_latest(self.state, meta)
+                val_loss = val_metrics.get("loss", train_metrics.get("loss"))
+                if val_loss is not None and val_loss < self.best_val_loss:
+                    self.best_val_loss = float(val_loss)
+                    self.best_epoch = epoch
+                    meta["best_val_loss"] = self.best_val_loss
+                    self.ckpt.save_best(self.state, epoch, meta)
+                    patience_left = cfg.early_stopping_patience or math.inf
+                else:
+                    patience_left -= 1
+                align = val_metrics.get("alignment")
+                if align is not None and align > self.highest_alignment:
+                    self.highest_alignment = float(align)
+                    self.ckpt.save_alignment(self.state, epoch, meta)
+
+            if patience_left <= 0:
+                break
+        return {"history": history, "best_epoch": self.best_epoch,
+                "best_val_loss": self.best_val_loss}
+
+    def _run_train_epoch(self, epoch: int, temp: float, vfr: float, tfr: float):
+        loader = self.loaders["train"]
+        loader.set_epoch(epoch)
+        agg: Dict[str, float] = {}
+        n = 0
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), epoch)
+        for i, batch in enumerate(loader):
+            device_batch = self.bundle.batch_sharding_fn(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, np.ndarray)}
+            )
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self.train_step(
+                self.state, device_batch, sub, vfr, tfr, temp
+            )
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                # save-and-raise (reference :478-492)
+                if self.config.is_ref_device:
+                    self.ckpt.save_latest(self.state, {"epoch": epoch,
+                                                       "nan_loss_at_step": i})
+                raise NonFiniteLossError(
+                    f"non-finite loss {loss} at epoch {epoch} step {i}"
+                )
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in agg.items()}
+
+    # ------------------------------------------------------------------ #
+    # validation with retrieval metrics
+    # ------------------------------------------------------------------ #
+
+    def validate(self, epoch: int = 0, split: str = "val") -> Dict[str, float]:
+        loader = self.loaders.get(split)
+        if loader is None:
+            return {}
+        losses: List[float] = []
+        v_embs: List[np.ndarray] = []
+        texts: List[str] = []
+        paths: List[str] = []
+        for batch in loader:
+            device_batch = self.bundle.batch_sharding_fn(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            )
+            out = self.eval_step(self.state.params, device_batch)
+            losses.append(float(out["loss"]))
+            n_real = len(batch["texts"]) if "texts" in batch else len(batch["paths"])
+            v_embs.append(np.asarray(out["video_emb"], np.float32)[:n_real])
+            if self.multi_positive:
+                texts.extend(
+                    [t[0][0] if t else "" for t in
+                     self._positives_of_batch(batch)]
+                )
+            else:
+                texts.extend(batch["texts"])
+            paths.extend([p[0] for p in batch["paths"]])
+
+        if not v_embs:
+            return {}
+        v_emb = np.concatenate(v_embs)
+        metrics = {"loss": float(np.mean(losses))}
+        retrieval = self._retrieval_eval(v_emb, texts, epoch, split)
+        metrics.update(retrieval)
+        return metrics
+
+    @staticmethod
+    def _positives_of_batch(batch):
+        uniq = batch.get("unique_texts", [])
+        pos = batch.get("positive_mask")
+        out = []
+        for row in np.asarray(pos):
+            idx = np.flatnonzero(row)
+            out.append([(uniq[j], 1.0) for j in idx if j < len(uniq)])
+        return out
+
+    def _encode_texts(self, unique_texts: List[str], batch_size: int = 64):
+        """Unique-text re-encode in fixed-size batches (reference :904-941)."""
+        embs = []
+        n = len(unique_texts)
+        for i in range(0, n, batch_size):
+            chunk = unique_texts[i : i + batch_size]
+            pad = batch_size - len(chunk)
+            enc = self.tokenizer(
+                chunk + [""] * pad, max_length=self.config.max_text_length,
+                padding="max_length", truncation=True, return_tensors="np",
+            )
+            e = self._text_encode(
+                self.state.params,
+                jnp.asarray(enc["input_ids"], jnp.int32),
+                jnp.asarray(enc["attention_mask"], jnp.int32),
+            )
+            embs.append(np.asarray(e, np.float32)[: len(chunk)])
+        return np.concatenate(embs) if embs else np.zeros((0, 1), np.float32)
+
+    def _retrieval_eval(self, v_emb, texts, epoch, split) -> Dict[str, float]:
+        """Dedup -> encode -> NxM similarity -> metrics -> artifacts
+        (reference :853-1021)."""
+        cfg = self.config
+        uniq: Dict[str, int] = {}
+        text_ids = []
+        for t in texts:
+            if t not in uniq:
+                uniq[t] = len(uniq)
+            text_ids.append(uniq[t])
+        unique_texts = list(uniq)
+        if not unique_texts or len(v_emb) == 0:
+            return {}
+        t_emb = self._encode_texts(unique_texts)
+
+        vn = v_emb / np.maximum(np.linalg.norm(v_emb, axis=1, keepdims=True), 1e-8)
+        tn = t_emb / np.maximum(np.linalg.norm(t_emb, axis=1, keepdims=True), 1e-8)
+        sim = vn @ tn.T
+        gt = gt_matrix_from_text_ids(text_ids, len(unique_texts))
+        metrics = compute_retrieval_metrics(
+            sim, gt, recall_k=cfg.recall_k, ndcg_k=cfg.ndcg_k
+        )
+        metrics["alignment"] = compute_alignment_score(
+            v_emb, t_emb[np.asarray(text_ids)]
+        )
+
+        if cfg.is_ref_device:
+            # artifacts (reference saves val_unique_texts.csv + text emb .pt)
+            art = self.output_dir / split
+            art.mkdir(parents=True, exist_ok=True)
+            pd.DataFrame({"text": unique_texts}).to_csv(
+                art / f"unique_texts_epoch_{epoch}.csv", index=False
+            )
+            np.savez(
+                art / f"text_embeddings_epoch_{epoch}.npz",
+                text_embeddings=t_emb, video_embeddings=v_emb,
+            )
+        return metrics
+
+    # ------------------------------------------------------------------ #
+    # inference (reference :1731-1826)
+    # ------------------------------------------------------------------ #
+
+    def inference(self) -> pd.DataFrame:
+        cfg = self.config
+        bank = np.load(cfg.text_embeddings_path)
+        t_emb = bank["text_embeddings"] if hasattr(bank, "files") else np.asarray(bank)
+        metadata = (
+            pd.read_parquet(cfg.metadata_path)
+            if str(cfg.metadata_path).endswith("parquet")
+            else pd.read_csv(cfg.metadata_path)
+        )
+        loader = self.loaders.get(cfg.run_mode) or next(iter(self.loaders.values()))
+
+        tn = t_emb / np.maximum(np.linalg.norm(t_emb, axis=1, keepdims=True), 1e-8)
+        rows = []
+        for batch in loader:
+            device_batch = self.bundle.batch_sharding_fn(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            )
+            out = self.eval_step(self.state.params, device_batch)
+            v = np.asarray(out["video_emb"], np.float32)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-8)
+            sim = v @ tn.T
+            topk = np.argsort(-sim, axis=1)[:, : cfg.topk]
+            for b, idxs in enumerate(topk):
+                sel = metadata.iloc[idxs]
+                row: Dict[str, Any] = {
+                    "path": batch["paths"][b][0] if batch.get("paths") else "",
+                    "topk_indices": list(map(int, idxs)),
+                    "topk_scores": [float(sim[b, j]) for j in idxs],
+                }
+                # numeric columns averaged, string columns mode (reference
+                # :1768-1804)
+                for col in metadata.columns:
+                    vals = sel[col]
+                    if pd.api.types.is_numeric_dtype(vals):
+                        row[col] = float(vals.mean())
+                    else:
+                        row[col] = vals.mode().iloc[0] if len(vals.mode()) else ""
+                rows.append(row)
+        df = pd.DataFrame(rows)
+        if cfg.is_ref_device:
+            out_dir = Path(cfg.inference_results_path)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            df.to_csv(out_dir / "averaged_metadata.csv", index=False)
+        return df
+
+    # ------------------------------------------------------------------ #
+    # resume
+    # ------------------------------------------------------------------ #
+
+    def maybe_resume(self) -> int:
+        if self.config.resume_training and self.ckpt.latest_exists():
+            self.state = self.ckpt.restore(self.state, "checkpoint")
+            meta = self.ckpt.load_meta("checkpoint") or {}
+            self.best_val_loss = float(meta.get("best_val_loss", math.inf))
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+        return self.start_epoch

@@ -160,21 +160,47 @@ def build_clip_bundle(
     state_sharding = to_named_shardings(mesh, state_spec)
     state = jax.device_put(state, state_sharding)
 
+    n_data = mesh.shape[DATA_AXIS]
+
     def batch_sharding_fn(batch):
-        def put(x):
-            x = np.asarray(x)
-            # text bank in multi-positive mode is global (replicated)
-            return jax.device_put(
-                x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
-            )
+        """Host batch -> device batch. The leading (batch) axis is padded to a
+        multiple of the data-mesh axis (repeat-last + sample_mask), so ANY
+        host batch size is valid; callers slice real rows back via the
+        returned mask."""
+        batch = dict(batch)
+        n = int(np.asarray(batch["videos"]).shape[0])
+        target = int(np.ceil(n / n_data) * n_data)
+        mask = np.asarray(
+            batch.get("sample_mask", np.ones((n,), np.float32))
+        )
+        replicated_keys = (
+            ("input_ids", "attention_mask", "text_valid") if multi_positive else ("text_valid",)
+        )
+        if target != n:
+            pad = target - n
+
+            def pad_rows(x):
+                x = np.asarray(x)
+                return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+
+            batch = {
+                k: (pad_rows(v) if isinstance(v, np.ndarray) and np.asarray(v).ndim >= 1
+                    and np.asarray(v).shape[0] == n and k not in replicated_keys
+                    else v)
+                for k, v in batch.items()
+            }
+            mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+        batch["sample_mask"] = mask
 
         out = {}
         for k, v in batch.items():
             v = np.asarray(v)
-            if multi_positive and k in ("input_ids", "attention_mask", "text_valid"):
+            if k in replicated_keys:
                 out[k] = jax.device_put(v, NamedSharding(mesh, P()))
             else:
-                out[k] = put(v)
+                out[k] = jax.device_put(
+                    v, NamedSharding(mesh, P(DATA_AXIS, *([None] * (v.ndim - 1))))
+                )
         return out
 
     bundle = ClipBundle(
