@@ -38,6 +38,8 @@ class PrefetchLoader:
     def set_epoch(self, epoch: int) -> None:
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # round-robin positive rotation
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         batches = list(self.sampler)

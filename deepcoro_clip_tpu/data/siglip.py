@@ -1,0 +1,252 @@
+"""SigLIP multi-positive resources: texts/edges manifests, severity weighting,
+tree/segment-aware negative pools, round-robin positive sampling.
+
+Behavioral spec from the reference (reference: dataloaders/siglip_support.py:
+20-900 and dataloaders/video_clip_dataset.py:197-270, 442-496, 546-595,
+766-841):
+- ``texts.csv``: text_id, text, and optional tree / segment /
+  disease_severity columns;
+- ``edges.csv``: video_id -> text_id positive pairs with a weight column;
+- per-positive weight = edge_weight * severity weight (reference :592-629);
+- per-video positives sampled round-robin (epoch-rotating) or random up to
+  ``max_positive_per_video`` (reference :546-595);
+- negative candidates ordered same-segment -> same-tree -> global
+  (reference build_negative_candidates:724);
+- exam-level abnormality labels for the class-aware sampler.
+"""
+
+from __future__ import annotations
+
+import collections
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from deepcoro_clip_tpu.data.csv_utils import read_csv_with_fallback
+from deepcoro_clip_tpu.data.datasets import VideoClipDataset
+
+# reference severity ladder (config/clip/siglip_*.yaml: normal 1.0 ->
+# severe/critical/cto up to 10.0)
+DEFAULT_SEVERITY_WEIGHTS: Dict[str, float] = {
+    "normal": 1.0,
+    "minimal": 1.5,
+    "mild": 2.0,
+    "moderate": 4.0,
+    "severe": 8.0,
+    "critical": 10.0,
+    "cto": 10.0,
+}
+ABNORMAL_SEVERITIES = {"moderate", "severe", "critical", "cto"}
+
+
+class SiglipResources:
+    def __init__(
+        self,
+        texts_path: str,
+        edges_path: str,
+        text_id_column: str = "text_id",
+        text_column: str = "text",
+        video_id_column: str = "video_id",
+        edge_weight_column: str = "weight",
+        severity_weights: Optional[Dict[str, float]] = None,
+        enable_severity_weighting: bool = True,
+    ):
+        texts_df = read_csv_with_fallback(texts_path)
+        if text_column not in texts_df.columns:
+            for cand in ("prompt_text", "prompt", "sentence"):
+                if cand in texts_df.columns:
+                    text_column = cand
+                    break
+        missing = {text_id_column, text_column} - set(texts_df.columns)
+        if missing:
+            raise ValueError(f"texts.csv missing columns: {sorted(missing)}")
+
+        self.severity_weights = dict(
+            severity_weights or DEFAULT_SEVERITY_WEIGHTS
+        )
+        self.enable_severity_weighting = enable_severity_weighting
+
+        self.text_by_id: Dict[str, str] = {}
+        self.meta_by_id: Dict[str, Dict[str, Optional[str]]] = {}
+        self.texts_by_segment: Dict[str, List[str]] = collections.defaultdict(list)
+        self.texts_by_tree: Dict[str, List[str]] = collections.defaultdict(list)
+        self.all_text_ids: List[str] = []
+        for _, row in texts_df.iterrows():
+            tid = str(row[text_id_column])
+            self.text_by_id[tid] = str(row[text_column])
+            tree = self._norm(row.get("tree"))
+            segment = self._norm(row.get("segment"))
+            severity = self._norm(row.get("disease_severity"))
+            self.meta_by_id[tid] = {
+                "tree": tree, "segment": segment, "severity": severity
+            }
+            self.all_text_ids.append(tid)
+            if segment:
+                self.texts_by_segment[segment].append(tid)
+            if tree:
+                self.texts_by_tree[tree].append(tid)
+
+        edges_df = pd.read_csv(edges_path)
+        missing_e = {video_id_column, text_id_column} - set(edges_df.columns)
+        if missing_e:
+            raise ValueError(f"edges.csv missing columns: {sorted(missing_e)}")
+        self.video_to_positives: Dict[str, List[Tuple[str, float]]] = (
+            collections.defaultdict(list)
+        )
+        for _, row in edges_df.iterrows():
+            vid = str(row[video_id_column])
+            tid = str(row[text_id_column])
+            if tid not in self.text_by_id:
+                continue
+            w = float(row.get(edge_weight_column, 1.0) or 1.0)
+            self.video_to_positives[vid].append((tid, w))
+
+    @staticmethod
+    def _norm(v) -> Optional[str]:
+        if isinstance(v, str) and v.strip():
+            return v.strip().lower()
+        return None
+
+    # ------------------------------------------------------------------ #
+
+    def pair_weight(self, text_id: str, edge_weight: float) -> float:
+        """edge weight x severity weight (reference :592-629)."""
+        if not self.enable_severity_weighting:
+            return edge_weight
+        sev = self.meta_by_id.get(text_id, {}).get("severity")
+        return edge_weight * self.severity_weights.get(sev or "normal", 1.0)
+
+    def video_is_abnormal(self, video_id: str) -> bool:
+        for tid, _ in self.video_to_positives.get(str(video_id), []):
+            sev = self.meta_by_id.get(tid, {}).get("severity")
+            if sev in ABNORMAL_SEVERITIES:
+                return True
+        return False
+
+    def sample_positives(
+        self,
+        video_id: str,
+        k: int,
+        round_robin: bool = True,
+        epoch: int = 0,
+        rng: Optional[np.random.Generator] = None,
+    ) -> List[Tuple[str, float]]:
+        """Returns [(text, weight)] up to k pairs (reference :546-595)."""
+        pairs = self.video_to_positives.get(str(video_id), [])
+        if not pairs:
+            return []
+        if len(pairs) <= k:
+            chosen = pairs
+        elif round_robin:
+            off = (epoch * k) % len(pairs)
+            chosen = [pairs[(off + i) % len(pairs)] for i in range(k)]
+        else:
+            rng = rng or np.random.default_rng(0)
+            idx = rng.choice(len(pairs), k, replace=False)
+            chosen = [pairs[i] for i in idx]
+        return [
+            (self.text_by_id[tid], self.pair_weight(tid, w)) for tid, w in chosen
+        ]
+
+    def sample_negatives(
+        self,
+        video_id: str,
+        k: int,
+        rng: Optional[np.random.Generator] = None,
+    ) -> List[Tuple[str, float]]:
+        """Negative pool: same-segment -> same-tree -> global, excluding the
+        video's positives (reference build_negative_candidates:724)."""
+        if k <= 0:
+            return []
+        rng = rng or np.random.default_rng(0)
+        pos_ids = {tid for tid, _ in self.video_to_positives.get(str(video_id), [])}
+        segs = {
+            self.meta_by_id[t].get("segment") for t in pos_ids
+        } - {None}
+        trees = {
+            self.meta_by_id[t].get("tree") for t in pos_ids
+        } - {None}
+
+        # priority tiers, shuffled within each tier (priority order preserved
+        # across tiers, matching the reference's bucketed assembly :724)
+        seen = set(pos_ids)
+        tiers: List[List[str]] = [[], [], []]
+        for s in segs:
+            for t in self.texts_by_segment.get(s, []):
+                if t not in seen:
+                    seen.add(t)
+                    tiers[0].append(t)
+        for tr in trees:
+            for t in self.texts_by_tree.get(tr, []):
+                if t not in seen:
+                    seen.add(t)
+                    tiers[1].append(t)
+        for t in self.all_text_ids:
+            if t not in seen:
+                seen.add(t)
+                tiers[2].append(t)
+        pool: List[str] = []
+        for tier in tiers:
+            tier = list(tier)
+            rng.shuffle(tier)
+            pool.extend(tier)
+        return [(self.text_by_id[t], 1.0) for t in pool[:k]]
+
+
+class SiglipVideoDataset(VideoClipDataset):
+    """VideoClipDataset + per-item multi-positive/negative text packs."""
+
+    def __init__(
+        self,
+        *args,
+        siglip: SiglipResources,
+        video_id_column: str = "video_id",
+        max_positive_per_video: int = 8,
+        negatives_per_video: int = 0,
+        round_robin: bool = True,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.siglip = siglip
+        self.video_id_column = video_id_column
+        self.max_pos = max_positive_per_video
+        self.n_neg = negatives_per_video
+        self.round_robin = round_robin
+        self.epoch = 0
+        # drop samples with no positives (reference :443-445)
+        kept = []
+        for s in self.samples:
+            vid = self._vid_of(s)
+            if self.siglip.video_to_positives.get(vid):
+                kept.append(s)
+        self.samples = kept
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _vid_of(self, sample) -> str:
+        row = self.df.loc[sample["row_indices"][0]]
+        if self.video_id_column in row:
+            return str(row[self.video_id_column])
+        return str(row["__path"])
+
+    def abnormal_labels(self) -> np.ndarray:
+        """Per-sample abnormality for the class-aware sampler."""
+        return np.array(
+            [int(self.siglip.video_is_abnormal(self._vid_of(s)))
+             for s in self.samples]
+        )
+
+    def __getitem__(self, i: int):
+        out = super().__getitem__(i)
+        vid = self._vid_of(self.samples[i])
+        rng = np.random.default_rng(hash((vid, self.epoch)) % (2**31))
+        out["positives"] = self.siglip.sample_positives(
+            vid, self.max_pos, round_robin=self.round_robin,
+            epoch=self.epoch, rng=rng,
+        )
+        out["negatives"] = self.siglip.sample_negatives(vid, self.n_neg, rng=rng)
+        out["video_id"] = vid
+        return out

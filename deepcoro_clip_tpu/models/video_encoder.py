@@ -200,6 +200,24 @@ class VideoEncoder(nn.Module):
             per_video, mask=video_mask, deterministic=deterministic
         )
 
+    def features(
+        self,
+        x,
+        video_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """One backbone pass -> every granularity (the multitask runner's
+        single-token-pass pattern, reference: runners/multitask_runner.py:
+        764-793): {"tokens": [B,N,L,D], "video": [B,N,D], "study": [B,D]}."""
+        if x.ndim == 5:
+            x = x[:, None]
+        toks = self._encode_clips(x, deterministic)
+        per_video = self._pool_video(toks, deterministic)
+        study = self.aggregator(
+            per_video, mask=video_mask, deterministic=deterministic
+        )
+        return {"tokens": toks, "video": per_video, "study": study}
+
     def get_tokens(self, x, mode: str = "patch", deterministic: bool = True):
         """mode: 'patch' -> [B, N, L, D]; 'video' -> [B, N, D];
         'study' -> [B, D] (reference get_tokens, models/video_encoder.py:498-522)."""

@@ -1,0 +1,23 @@
+"""Multitask pretraining project
+(reference: projects/multitask_pretraining_project.py:31-442)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from deepcoro_clip_tpu.projects.base import BaseProject
+from deepcoro_clip_tpu.registry import ProjectRegistry
+from deepcoro_clip_tpu.runners.multitask import MultitaskRunner
+
+
+@ProjectRegistry.register("DeepCORO_multitask")
+class MultitaskPretrainingProject(BaseProject):
+    def run(self) -> Dict[str, Any]:
+        output_dir = self._setup_project()
+        runner = MultitaskRunner(self.config, output_dir=output_dir)
+        if self.config.run_mode == "train":
+            result = runner.train()
+        else:
+            result = runner.validate()
+        runner.logger.finish()
+        return result

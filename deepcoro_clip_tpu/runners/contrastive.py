@@ -133,17 +133,45 @@ class VideoContrastiveLearningRunner:
             resize=cfg.resize,
             seed=cfg.seed,
         )
+        if cfg.siglip_texts_path:
+            from deepcoro_clip_tpu.data.siglip import (
+                SiglipResources,
+                SiglipVideoDataset,
+            )
+
+            edges = cfg.siglip_edges_path or str(
+                Path(cfg.siglip_texts_path).parent / "edges.csv"
+            )
+            resources = SiglipResources(
+                cfg.siglip_texts_path, edges,
+                severity_weights=cfg.siglip_positive_severity_weights,
+                enable_severity_weighting=cfg.siglip_enable_severity_weighting,
+            )
+
+            def make(split, augment=False):
+                return SiglipVideoDataset(
+                    split=split, rand_augment=augment,
+                    siglip=resources,
+                    max_positive_per_video=cfg.siglip_max_positive_per_video,
+                    negatives_per_video=cfg.siglip_negatives_per_video,
+                    round_robin=cfg.siglip_round_robin_sampling,
+                    **common,
+                )
+        else:
+
+            def make(split, augment=False):
+                return VideoClipDataset(split=split, rand_augment=augment, **common)
+
         out: Dict[str, Any] = {}
         if cfg.run_mode == "train":
-            out["train"] = VideoClipDataset(
-                split="train", rand_augment=cfg.rand_augment, **common
-            )
+            out["train"] = make("train", cfg.rand_augment)
             try:
-                out["val"] = VideoClipDataset(split="val", **common)
+                val = make("val")
+                out["val"] = val if len(val) else None
             except Exception:
                 out["val"] = None
         else:
-            out[cfg.run_mode] = VideoClipDataset(split=cfg.run_mode, **common)
+            out[cfg.run_mode] = make(cfg.run_mode)
         return out
 
     def _resolve_stats(self) -> None:
@@ -184,11 +212,23 @@ class VideoContrastiveLearningRunner:
         if dataset is None:
             return None
         cfg = self.config
-        sampler = ShardedBatchSampler(
-            len(dataset), cfg.batch_size, shuffle=training, seed=cfg.seed,
-            drop_last=training,
-            process_index=cfg.process_index, process_count=cfg.process_count,
-        )
+        if training and cfg.siglip_use_class_aware_sampler and hasattr(
+            dataset, "abnormal_labels"
+        ):
+            from deepcoro_clip_tpu.data.sampler import ClassAwareBatchSampler
+
+            sampler = ClassAwareBatchSampler(
+                dataset.abnormal_labels(), cfg.batch_size,
+                abnormal_ratio=cfg.siglip_abnormal_ratio, seed=cfg.seed,
+                process_index=cfg.process_index,
+                process_count=cfg.process_count,
+            )
+        else:
+            sampler = ShardedBatchSampler(
+                len(dataset), cfg.batch_size, shuffle=training, seed=cfg.seed,
+                drop_last=training,
+                process_index=cfg.process_index, process_count=cfg.process_count,
+            )
         return PrefetchLoader(
             dataset, sampler, self._collate, num_workers=max(1, cfg.num_workers)
         )

@@ -1,0 +1,286 @@
+"""Multitask (contrastive + captioning + MVM) training step assembly.
+
+Reference counterpart: projects/multitask_pretraining_project.py:31-442 +
+runners/multitask_runner.py:56-1775 — shared VideoEncoder, TextEncoder,
+CaptioningDecoder and MaskedVideoModeling trained jointly with per-task LRs
+and scheduled loss weights. One backbone token pass feeds all three tasks
+(reference :764-793).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepcoro_clip_tpu.losses.contrastive import clip_loss
+from deepcoro_clip_tpu.losses.multitask import captioning_loss
+from deepcoro_clip_tpu.models.captioning_decoder import CaptioningDecoder
+from deepcoro_clip_tpu.models.masked_video_modeling import (
+    MaskedVideoModeling,
+    random_token_mask,
+)
+from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
+from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
+from deepcoro_clip_tpu.parallel.mesh import DATA_AXIS
+from deepcoro_clip_tpu.train import optim as optim_lib
+from deepcoro_clip_tpu.train.schedulers import get_scheduler
+from deepcoro_clip_tpu.train.state import TrainState, to_named_shardings, unbox_with_spec
+
+PyTree = Any
+
+
+class MultitaskBundle(NamedTuple):
+    config: Any
+    mesh: Mesh
+    video_model: Any
+    text_model: Any
+    decoder: Any
+    mvm: Any
+    tx: optax.GradientTransformation
+    schedule: Callable
+    state_sharding: Any
+    batch_sharding_fn: Callable
+
+
+def build_multitask_bundle(cfg, mesh: Mesh, rng: jax.Array,
+                           steps_per_epoch: int = 100):
+    video_model = video_encoder_from_config(cfg)
+    text_model = text_encoder_from_config(cfg)
+    decoder = CaptioningDecoder(
+        vocab_size=cfg.text_vocab_size,
+        dim=cfg.decoder_dim,
+        depth=cfg.decoder_depth,
+        num_heads=cfg.decoder_heads,
+        max_length=cfg.decoder_max_length,
+        memory_dim=cfg.embedding_dim,
+        dropout=cfg.dropout,
+        dtype=jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32,
+        use_flash=cfg.use_pallas_attention,
+    )
+    mvm = MaskedVideoModeling(
+        dim=cfg.embedding_dim,
+        decoder_dim=cfg.mvm_decoder_dim,
+        decoder_depth=cfg.mvm_decoder_depth,
+        num_heads=cfg.num_heads,
+        mask_ratio=cfg.mask_ratio,
+        norm_targets=cfg.mvm_norm_targets,
+        dtype=jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32,
+        use_flash=False,
+    )
+
+    B, N = 2, cfg.num_videos if cfg.multi_video else 1
+    videos = jnp.zeros((B, N, cfg.frames, cfg.resize, cfg.resize, 3), jnp.float32)
+    vmask = jnp.ones((B, N), bool)
+    ids = jnp.zeros((B, cfg.max_text_length), jnp.int32)
+    amask = jnp.ones_like(ids)
+    cap_ids = jnp.zeros((B, cfg.decoder_max_length), jnp.int32)
+
+    r = jax.random.split(rng, 5)
+    vvars = video_model.init({"params": r[0], "dropout": r[4]}, videos,
+                             video_mask=vmask)
+    vparams, vspec = unbox_with_spec(vvars["params"])
+    tvars = text_model.init({"params": r[1], "dropout": r[4]}, ids,
+                            attention_mask=amask)
+    tparams, tspec = unbox_with_spec(tvars["params"])
+
+    feats = video_model.apply(
+        {"params": vparams}, videos, video_mask=vmask,
+        deterministic=True, method=video_model.features,
+    )
+    toks_flat = feats["tokens"].reshape(B, -1, cfg.embedding_dim)
+    dvars = decoder.init({"params": r[2], "dropout": r[4]}, cap_ids, toks_flat)
+    dparams, dspec = unbox_with_spec(dvars["params"])
+
+    clip_toks = feats["tokens"].reshape(B * N, -1, cfg.embedding_dim)
+    mmask = random_token_mask(r[3], B * N, clip_toks.shape[1], cfg.mask_ratio)
+    mvars = mvm.init({"params": r[3], "dropout": r[4]}, clip_toks, mmask)
+    mparams, mspec = unbox_with_spec(mvars["params"])
+
+    params = {
+        "video_encoder": vparams, "text_encoder": tparams,
+        "decoder": dparams, "mvm": mparams,
+        "log_temp": jnp.log(jnp.float32(cfg.temperature)),
+    }
+    spec = {
+        "video_encoder": vspec, "text_encoder": tspec,
+        "decoder": dspec, "mvm": mspec, "log_temp": P(),
+    }
+
+    schedule = get_scheduler(
+        cfg.scheduler_name, cfg.lr, steps_per_epoch, cfg.epochs,
+        num_warmup_percent=cfg.num_warmup_percent, factor=cfg.factor,
+        lr_step_period=cfg.lr_step_period,
+        gradient_accumulation_steps=cfg.gradient_accumulation_steps,
+    )
+
+    # per-task LR groups (reference: projects/multitask_pretraining_project.py)
+    def label(path, _):
+        top = str(getattr(path[0], "key", path[0]))
+        return {
+            "video_encoder": "video", "text_encoder": "text",
+            "decoder": "captioning", "mvm": "mvm",
+        }.get(top, "scalar")
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+
+    def scaled(lr_value):
+        s = lr_value / max(cfg.lr, 1e-12)
+        return lambda step: schedule(step) * s
+
+    def opt(lr_value, wd):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm or 1.0),
+            optax.adamw(scaled(lr_value), weight_decay=wd),
+        )
+
+    tx = optax.multi_transform(
+        {
+            "video": opt(cfg.lr, cfg.video_weight_decay),
+            "text": opt(cfg.text_lr, cfg.text_weight_decay),
+            "captioning": opt(cfg.captioning_lr, cfg.video_weight_decay),
+            "mvm": opt(cfg.mvm_lr, cfg.video_weight_decay),
+            "scalar": opt(cfg.lr, 0.0),
+        },
+        labels,
+    )
+    opt_state = tx.init(params)
+
+    state = TrainState(
+        step=jnp.int32(0), params=params, opt_state=opt_state,
+        best_val_loss=jnp.float32(np.inf), best_epoch=jnp.int32(-1),
+    )
+    state_spec = TrainState(
+        step=P(), params=spec,
+        opt_state=jax.tree_util.tree_map(lambda _: P(), opt_state),
+        best_val_loss=P(), best_epoch=P(),
+    )
+    state_sharding = to_named_shardings(mesh, state_spec)
+    state = jax.device_put(state, state_sharding)
+
+    n_data = mesh.shape[DATA_AXIS]
+
+    def batch_sharding_fn(batch):
+        batch = dict(batch)
+        n = int(np.asarray(batch["videos"]).shape[0])
+        target = int(np.ceil(n / n_data) * n_data)
+        if target != n:
+            pad = target - n
+
+            def pad_rows(x):
+                x = np.asarray(x)
+                if x.ndim >= 1 and x.shape[0] == n:
+                    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                return x
+
+            batch = {k: pad_rows(v) for k, v in batch.items()}
+        return {
+            k: jax.device_put(
+                np.asarray(v),
+                NamedSharding(
+                    mesh, P(DATA_AXIS, *([None] * (np.asarray(v).ndim - 1)))
+                ),
+            )
+            for k, v in batch.items()
+        }
+
+    bundle = MultitaskBundle(
+        config=cfg, mesh=mesh, video_model=video_model, text_model=text_model,
+        decoder=decoder, mvm=mvm, tx=tx, schedule=schedule,
+        state_sharding=state_sharding, batch_sharding_fn=batch_sharding_fn,
+    )
+    return bundle, state
+
+
+def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
+                      deterministic=False):
+    """All three task losses from one backbone pass."""
+    cfg = bundle.config
+    rngs = {"dropout": rng} if rng is not None else None
+    feats = bundle.video_model.apply(
+        {"params": params["video_encoder"]}, batch["videos"],
+        video_mask=batch.get("video_mask"), deterministic=deterministic,
+        rngs=rngs, method=bundle.video_model.features,
+    )
+    B, N, L, D = feats["tokens"].shape
+
+    t_emb = bundle.text_model.apply(
+        {"params": params["text_encoder"]}, batch["input_ids"],
+        attention_mask=batch["attention_mask"], deterministic=deterministic,
+        rngs=rngs,
+    )
+    contrastive = clip_loss(
+        jnp.nan_to_num(feats["study"]), jnp.nan_to_num(t_emb),
+        params["log_temp"], label_smoothing=cfg.label_smoothing,
+    )
+
+    toks_flat = feats["tokens"].reshape(B, N * L, D)
+    cap_ids = batch["caption_ids"]
+    logits = bundle.decoder.apply(
+        {"params": params["decoder"]}, cap_ids, toks_flat,
+        attention_mask=batch.get("caption_mask"),
+        deterministic=deterministic, rngs=rngs,
+    )
+    cap_loss = captioning_loss(
+        logits, cap_ids, batch["caption_mask"],
+        label_smoothing=cfg.caption_label_smoothing,
+        sample_weights=batch.get("caption_weights"),
+    )
+
+    clip_toks = feats["tokens"].reshape(B * N, L, D)
+    mask_rng = (jax.random.fold_in(rng, 1) if rng is not None
+                else jax.random.PRNGKey(0))
+    tok_mask = random_token_mask(mask_rng, B * N, L, cfg.mask_ratio)
+    mvm_out = bundle.mvm.apply(
+        {"params": params["mvm"]}, clip_toks, tok_mask,
+        deterministic=deterministic, rngs=rngs,
+    )
+
+    return {
+        "contrastive": contrastive["loss"],
+        "captioning": cap_loss,
+        "mvm": mvm_out["loss"],
+        "temperature": contrastive["temperature"],
+        "video_emb": feats["study"],
+        "text_emb": t_emb,
+        "caption_logits": logits,
+    }
+
+
+def make_multitask_train_step(bundle: MultitaskBundle):
+    cfg = bundle.config
+
+    def loss_fn(params, batch, rng, w_con, w_cap, w_mvm):
+        out = multitask_forward(bundle, params, batch, rng, deterministic=False)
+        total = (w_con * out["contrastive"] + w_cap * out["captioning"]
+                 + w_mvm * out["mvm"])
+        return total, out
+
+    def step(state: TrainState, batch, rng, w_con, w_cap, w_mvm):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, w_con, w_cap, w_mvm
+        )
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        updates, opt_state = bundle.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_contrastive": out["contrastive"],
+            "loss_captioning": out["captioning"],
+            "loss_mvm": out["mvm"],
+            "temperature": out["temperature"],
+            "lr": bundle.schedule(state.step),
+        }
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(bundle.state_sharding, None, None, None, None, None),
+        out_shardings=(bundle.state_sharding, None),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,153 @@
+"""Regex extraction of per-artery stenosis findings from report text.
+
+Behavioral parity with the reference ``StenosisExtractor``
+(reference: utils/stenosis_extractor.py:16-505): maps free-text angiography
+reports to per-segment {percent, severity, cto} findings, feeding the
+stenosis-aware multitask loss weighting
+(utils/loss/multitask_loss.py:165-230) and dataset tooling.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+# canonical coronary segments and their textual aliases (the reference's
+# 18-segment vocabulary, config/linear_probing/.../docker_base_config.yaml)
+SEGMENT_ALIASES: Dict[str, List[str]] = {
+    "left_main": ["left main", "lm", "lmca"],
+    "prox_lad": ["proximal lad", "prox lad", "plad"],
+    "mid_lad": ["mid lad", "middle lad"],
+    "dist_lad": ["distal lad", "dist lad"],
+    "d1": ["first diagonal", "d1", "diagonal 1"],
+    "d2": ["second diagonal", "d2", "diagonal 2"],
+    "prox_lcx": ["proximal circumflex", "prox lcx", "proximal lcx"],
+    "dist_lcx": ["distal circumflex", "dist lcx", "distal lcx"],
+    "om1": ["first obtuse marginal", "om1", "marginal 1"],
+    "om2": ["second obtuse marginal", "om2", "marginal 2"],
+    "prox_rca": ["proximal rca", "prox rca"],
+    "mid_rca": ["mid rca", "middle rca"],
+    "dist_rca": ["distal rca", "dist rca"],
+    "pda": ["posterior descending", "pda"],
+    "posterolateral": ["posterolateral", "plv", "pl branch"],
+    "ramus": ["ramus", "intermediate"],
+    "lad": ["lad", "left anterior descending"],
+    "rca": ["rca", "right coronary"],
+    "lcx": ["lcx", "circumflex"],
+}
+
+SEVERITY_BY_PERCENT = [
+    (0, "normal"),
+    (1, "minimal"),
+    (25, "mild"),
+    (50, "moderate"),
+    (70, "severe"),
+    (99, "critical"),
+]
+
+SEVERITY_KEYWORDS = {
+    "normal": 0.0,
+    "minimal": 10.0,
+    "mild": 30.0,
+    "moderate": 55.0,
+    "severe": 80.0,
+    "critical": 95.0,
+    "subtotal": 95.0,
+    "occluded": 100.0,
+    "occlusion": 100.0,
+}
+
+_PCT = re.compile(r"(\d{1,3})\s*(?:-\s*(\d{1,3})\s*)?%")
+_CTO = re.compile(r"\b(cto|chronic total occlusion|total(?:ly)? occlu\w*)\b")
+
+
+@dataclass
+class SegmentFinding:
+    segment: str
+    percent: Optional[float] = None
+    severity: str = "normal"
+    cto: bool = False
+
+
+def percent_to_severity(pct: float) -> str:
+    sev = "normal"
+    for threshold, name in SEVERITY_BY_PERCENT:
+        if pct >= threshold:
+            sev = name
+    return sev
+
+
+class StenosisExtractor:
+    def __init__(self):
+        # longest-alias-first so "proximal lad" wins over "lad"
+        pats = []
+        for seg, aliases in SEGMENT_ALIASES.items():
+            for a in sorted(aliases, key=len, reverse=True):
+                pats.append((re.compile(rf"\b{re.escape(a)}\b"), seg, len(a)))
+        self._patterns = sorted(pats, key=lambda t: -t[2])
+
+    def extract(self, text: str) -> Dict[str, SegmentFinding]:
+        """Split the report into clauses; attribute percents/severities/CTO to
+        the segments mentioned in each clause."""
+        text = str(text).lower()
+        findings: Dict[str, SegmentFinding] = {}
+        for clause in re.split(r"[.;\n]", text):
+            if not clause.strip():
+                continue
+            matched: List[str] = []
+            covered: List[tuple] = []
+            for pat, seg, _ in self._patterns:
+                for m in pat.finditer(clause):
+                    span = (m.start(), m.end())
+                    if any(s < span[1] and span[0] < e for s, e in covered):
+                        continue  # inside a longer alias match
+                    covered.append(span)
+                    if seg not in matched:
+                        matched.append(seg)
+            if not matched:
+                continue
+
+            pct: Optional[float] = None
+            m = _PCT.search(clause)
+            if m:
+                lo = float(m.group(1))
+                hi = float(m.group(2)) if m.group(2) else lo
+                pct = (lo + hi) / 2.0
+            cto = bool(_CTO.search(clause))
+            severity_kw = next(
+                (k for k in SEVERITY_KEYWORDS if k in clause), None
+            )
+            if pct is None and severity_kw is not None:
+                pct = SEVERITY_KEYWORDS[severity_kw]
+            if cto and pct is None:
+                pct = 100.0
+
+            for seg in matched:
+                f = findings.get(seg) or SegmentFinding(segment=seg)
+                if pct is not None and (f.percent is None or pct > f.percent):
+                    f.percent = pct
+                    f.severity = (
+                        severity_kw
+                        if severity_kw in ("normal", "minimal", "mild",
+                                           "moderate", "severe", "critical")
+                        else percent_to_severity(pct)
+                    )
+                f.cto = f.cto or cto
+                findings[seg] = f
+        return findings
+
+    def max_severity_weight(
+        self, text: str, weights: Optional[Dict[str, float]] = None
+    ) -> float:
+        """Scalar loss weight for a report = max per-segment severity weight
+        (the multitask stenosis-aware weighting,
+        utils/loss/multitask_loss.py:165-230)."""
+        from deepcoro_clip_tpu.data.siglip import DEFAULT_SEVERITY_WEIGHTS
+
+        weights = weights or DEFAULT_SEVERITY_WEIGHTS
+        w = 1.0
+        for f in self.extract(text).values():
+            sev = "cto" if f.cto else f.severity
+            w = max(w, weights.get(sev, 1.0))
+        return w

@@ -1,0 +1,146 @@
+"""Multitask pipeline tests: decoder, MVM, stenosis extractor, caption
+metrics, and the end-to-end multitask runner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from deepcoro_clip_tpu.models.captioning_decoder import (
+    CaptioningDecoder,
+    greedy_generate,
+)
+from deepcoro_clip_tpu.models.masked_video_modeling import (
+    MaskedVideoModeling,
+    random_token_mask,
+)
+from deepcoro_clip_tpu.registry import register_all
+from deepcoro_clip_tpu.utils.caption_metrics import captioning_metrics
+from deepcoro_clip_tpu.utils.stenosis_extractor import StenosisExtractor
+
+register_all()
+
+
+def test_decoder_shapes_and_causality():
+    dec = CaptioningDecoder(vocab_size=64, dim=32, depth=1, num_heads=2,
+                            max_length=8, memory_dim=16, dropout=0.0,
+                            dtype=jnp.float32, use_flash=False)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 8)), jnp.int32)
+    mem = jnp.asarray(np.random.default_rng(1).normal(size=(2, 5, 16)), jnp.float32)
+    logits, params = dec.init_with_output(jax.random.PRNGKey(0), ids, mem)
+    assert logits.shape == (2, 8, 64)
+    # causality: changing a future token must not affect earlier logits
+    ids2 = ids.at[:, 5].set((ids[:, 5] + 1) % 64)
+    logits2 = dec.apply(params, ids2, mem)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :5]), np.asarray(logits2[:, :5]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(logits[:, 5:]), np.asarray(logits2[:, 5:]))
+
+
+def test_greedy_generate_static_shape():
+    dec = CaptioningDecoder(vocab_size=32, dim=16, depth=1, num_heads=2,
+                            max_length=6, memory_dim=8, dropout=0.0,
+                            dtype=jnp.float32, use_flash=False)
+    mem = jnp.zeros((2, 4, 8))
+    ids0 = jnp.zeros((2, 6), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(0), ids0, mem)
+    out = greedy_generate(dec, params, mem, bos_id=1, eos_id=2)
+    assert out.shape == (2, 6)
+    assert (np.asarray(out[:, 0]) == 1).all()
+
+
+def test_random_token_mask_ratio():
+    m = random_token_mask(jax.random.PRNGKey(0), 4, 20, 0.75)
+    assert m.shape == (4, 20)
+    np.testing.assert_array_equal(np.asarray(m.sum(1)), 15)
+
+
+def test_mvm_loss_only_on_masked():
+    mvm = MaskedVideoModeling(dim=16, decoder_dim=8, decoder_depth=1,
+                              num_heads=2, dtype=jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(0).normal(size=(2, 10, 16)),
+                       jnp.float32)
+    mask = random_token_mask(jax.random.PRNGKey(1), 2, 10, 0.5)
+    out, params = mvm.init_with_output(jax.random.PRNGKey(0), toks, mask)
+    assert np.isfinite(float(out["loss"]))
+    # changing UNMASKED target tokens changes the loss (they are targets only
+    # for masked positions -> unmasked changes must not move the masked loss
+    # except through the decoder input at unmasked slots)
+    assert out["pred"].shape == (2, 10, 16)
+
+
+def test_stenosis_extractor():
+    ex = StenosisExtractor()
+    f = ex.extract(
+        "Severe 80% stenosis of the proximal LAD. The mid RCA shows mild "
+        "30% disease; chronic total occlusion of the distal RCA."
+    )
+    assert f["prox_lad"].percent == 80.0
+    assert f["prox_lad"].severity == "severe"
+    assert f["mid_rca"].severity == "mild"
+    assert f["dist_rca"].cto is True
+    assert f["dist_rca"].percent == 100.0
+
+
+def test_stenosis_weighting():
+    ex = StenosisExtractor()
+    assert ex.max_severity_weight("normal coronary arteries") == 1.0
+    assert ex.max_severity_weight("severe 90% stenosis of the lad") >= 8.0
+
+
+def test_caption_metrics_perfect_and_disjoint():
+    m = captioning_metrics(["the lad is normal"], ["the lad is normal"])
+    assert m["bleu1"] == pytest.approx(1.0)
+    assert m["rouge_l"] == pytest.approx(1.0)
+    m2 = captioning_metrics(["aaa bbb"], ["ccc ddd"])
+    assert m2["bleu1"] == 0.0
+    assert m2["rouge_l"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mt")
+    r = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        p = root / f"c{i}.npy"
+        np.save(p, r.integers(0, 255, size=(6, 32, 32, 3)).astype(np.uint8))
+        rows.append({
+            "FileName": str(p), "StudyInstanceUID": f"S{i}",
+            "Split": "train" if i < 6 else "val",
+            "Report": f"severe stenosis of the proximal lad {i}" if i % 2
+            else f"normal coronary arteries {i}",
+        })
+    csv = root / "d.csv"
+    pd.DataFrame(rows).to_csv(csv, sep="α", index=False)
+    return root, csv
+
+
+def test_multitask_runner_end_to_end(workspace, tmp_path):
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.main import main
+
+    root, csv = workspace
+    cfg = dict(
+        pipeline_project="DeepCORO_multitask", run_mode="train",
+        data_filename=str(csv), output_dir=str(tmp_path / "out"),
+        epochs=1, batch_size=2, frames=4, resize=32, num_workers=1,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        text_dim=32, text_depth=1, text_heads=2, text_vocab_size=512,
+        max_text_length=16, embedding_dim=16, num_heads=2, aggregator_depth=1,
+        decoder_dim=16, decoder_depth=1, decoder_heads=2, decoder_max_length=12,
+        mvm_decoder_dim=8, mvm_decoder_depth=1, mask_ratio=0.5,
+        loss_weights={"contrastive": 1.0, "captioning": 0.5, "mvm": 0.5},
+        dropout=0.0, lr=1e-3, precision="fp32", use_pallas_attention=False,
+        use_wandb=False, seed=0,
+    )
+    p = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, p.open("w"))
+    result = main(["--base_config", str(p)])
+    h = result["history"][0]
+    assert np.isfinite(h["loss"])
+    assert {"loss_contrastive", "loss_captioning", "loss_mvm"} <= set(h)
+    assert "val_bleu1" in h or "val_loss" in h
