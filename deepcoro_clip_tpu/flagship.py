@@ -26,6 +26,10 @@ def flagship_config(**overrides) -> ClipConfig:
         vit_depth=12,
         vit_heads=4,
         vit_patch=[2, 16, 16],
+        # multiscale: blocks 0-2 at 8x14x14=1568 tokens, 3-11 at 8x7x7=392
+        # (matches the reference MViT's ~392 pooled tokens per clip,
+        # SURVEY.md §5.7)
+        vit_pool_stages=[3],
         use_cls_token=True,
         embedding_dim=512,
         num_heads=8,

@@ -23,6 +23,7 @@ Backward: recompute through the pure-XLA oracle (ops/attention.py) under
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -143,17 +144,201 @@ def _flash_call(q, k, v, extras, *, causal, scale, block_q, has_rope, has_mask, 
     )(q, k, v, *extras)
 
 
+def _flash_bwd_kernel(
+    *refs,
+    scale: float,
+    causal: bool,
+    has_rope: bool,
+    has_mask: bool,
+    block_q: int,
+):
+    """Flash-attention backward (Dao-style), whole-K/V resident per (b, h).
+
+    dV = P^T dO; dP = dO V^T; dS = P * (dP - delta) * scale;
+    dQ = dS K_rot; dK = dS^T Q_rot — with dK/dV accumulated in fp32 VMEM
+    scratch across q-block grid steps and flushed on the last one. RoPE is
+    re-applied to q/k in-kernel; dQ/dK are rotated BACK through the transpose
+    rotation dx = g*cos - rotate_half(g*sin).
+    """
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    do_ref = next(it)
+    delta_ref = next(it)
+    if has_rope:
+        qsin_ref, qcos_ref, ksin_ref, kcos_ref = next(it), next(it), next(it), next(it)
+    if has_mask:
+        mask_ref = next(it)
+    dq_ref = next(it)
+    dk_ref = next(it)
+    dv_ref = next(it)
+    dk_acc = next(it)
+    dv_acc = next(it)
+
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]      # [bq, Dh]
+    k = k_ref[0, 0]      # [Lk, Dh]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]    # [bq, Dh]
+    half = q.shape[-1] // 2
+
+    def rh(x):
+        return jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+
+    if has_rope:
+        qsin = qsin_ref[...].astype(q.dtype)
+        qcos = qcos_ref[...].astype(q.dtype)
+        ksin = ksin_ref[...].astype(k.dtype)
+        kcos = kcos_ref[...].astype(k.dtype)
+        q = q * qcos + rh(q) * qsin
+        k = k * kcos + rh(k) * ksin
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [bq, Lk]
+    if has_mask:
+        valid = mask_ref[0] != 0.0
+        s = jnp.where(valid, s, NEG_INF)
+    if causal:
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(row >= col, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / l  # normalized probs, identical to fwd semantics
+
+    pb = p.astype(v.dtype)
+    # dV += P^T dO
+    dv_acc[...] += jax.lax.dot_general(
+        pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP = dO V^T
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = delta_ref[0, 0]  # [bq, 1] fp32
+    ds = (p * (dp - delta) * scale).astype(q.dtype)  # [bq, Lk]
+
+    dq_rot = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_rope:
+        dq_rot = dq_rot.astype(jnp.float32)
+        qs32 = qsin_ref[...]
+        qc32 = qcos_ref[...]
+        def rh32(x):
+            return jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+        dq = dq_rot * qc32 - rh32(dq_rot * qs32)
+    else:
+        dq = dq_rot
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    # dK_rot += dS^T Q_rot
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dkr = dk_acc[...]
+        if has_rope:
+            ks32 = ksin_ref[...]
+            kc32 = kcos_ref[...]
+            dkk = dkr * kc32 - jnp.concatenate(
+                [-(dkr * ks32)[:, half:], (dkr * ks32)[:, :half]], axis=1
+            )
+        else:
+            dkk = dkr
+        dk_ref[0, 0] = dkk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_call(q, k, v, do, delta, extras, *, causal, scale, block_q,
+                    has_rope, has_mask, interpret):
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    nq = Lq // block_q
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, i: (b, h, i, 0)),  # q
+        pl.BlockSpec((1, 1, Lk, Dh), lambda b, h, i: (b, h, 0, 0)),       # k
+        pl.BlockSpec((1, 1, Lk, Dh), lambda b, h, i: (b, h, 0, 0)),       # v
+        pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, i: (b, h, i, 0)),  # do
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),   # delta
+    ]
+    args = [q, k, v, do, delta]
+    if has_rope:
+        in_specs += [
+            pl.BlockSpec((block_q, Dh), lambda b, h, i: (i, 0)),
+            pl.BlockSpec((block_q, Dh), lambda b, h, i: (i, 0)),
+            pl.BlockSpec((Lk, Dh), lambda b, h, i: (0, 0)),
+            pl.BlockSpec((Lk, Dh), lambda b, h, i: (0, 0)),
+        ]
+        args += list(extras[:4])
+    if has_mask:
+        in_specs += [pl.BlockSpec((1, 1, Lk), lambda b, h, i: (b, 0, 0))]
+        args += [extras[-1]]
+
+    kernel = functools.partial(
+        _flash_bwd_kernel,
+        scale=scale, causal=causal, has_rope=has_rope, has_mask=has_mask,
+        block_q=block_q,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H, nq),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk, Dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lk, Dh), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lq, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lk, Dh), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Lk, Dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lk, Dh), jnp.float32),
+            pltpu.VMEM((Lk, Dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Lq * Lk * Dh,
+            bytes_accessed=(q.size * 3 + k.size * 3) * q.dtype.itemsize,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
 @functools.lru_cache(maxsize=64)
 def _make_fa(has_rope: bool, has_mask: bool, causal: bool, scale: float,
-             block_q: int, interpret: bool):
+             block_q: int, interpret: bool, bwd_impl: str = "pallas"):
     """Build a custom-vjp flash attention for one static configuration.
 
     All operands are explicit custom_vjp args (no closed-over tracers, which
     JAX's custom_vjp does not allow across transforms). sin/cos/mask get zero
     cotangents; the mask is passed as float32 so its zero cotangent is valid.
     """
-
-    n_extra = (4 if has_rope else 0) + (1 if has_mask else 0)
 
     @jax.custom_vjp
     def fa(q, k, v, *extras):
@@ -164,11 +349,28 @@ def _make_fa(has_rope: bool, has_mask: bool, causal: bool, scale: float,
         )
 
     def fwd(q, k, v, *extras):
-        return fa(q, k, v, *extras), (q, k, v) + extras
+        out = fa(q, k, v, *extras)
+        return out, (q, k, v, out) + extras
 
-    def bwd(res, g):
-        q, k, v = res[:3]
-        extras = res[3:]
+    def bwd_pallas(res, g):
+        q, k, v, out = res[:4]
+        extras = res[4:]
+        g = g.astype(q.dtype)
+        delta = jnp.sum(
+            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+            keepdims=True,
+        )
+        dq, dk, dv = _flash_bwd_call(
+            q, k, v, g, delta, extras,
+            causal=causal, scale=scale, block_q=block_q,
+            has_rope=has_rope, has_mask=has_mask, interpret=interpret,
+        )
+        zeros = tuple(jnp.zeros_like(e) for e in extras)
+        return (dq, dk, dv) + zeros
+
+    def bwd_xla(res, g):
+        q, k, v, _ = res[:4]
+        extras = res[4:]
         if has_rope:
             qsin, qcos = extras[0], extras[1]
         else:
@@ -178,15 +380,17 @@ def _make_fa(has_rope: bool, has_mask: bool, causal: bool, scale: float,
         def ref(a, b, c):
             m = (mask[:, 0, :] != 0.0) if mask is not None else None
             return multi_head_attention(
-                a, b, c, sin=qsin, cos=qcos, kv_mask=m, causal=causal, scale=scale
+                a, b, c, sin=qsin, cos=qcos, kv_mask=m, causal=causal,
+                scale=scale,
             )
 
         _, vjp = jax.vjp(ref, q, k, v)
         dq, dk, dv = vjp(g.astype(q.dtype))
         zeros = tuple(jnp.zeros_like(e) for e in extras)
-        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)) + zeros
+        return (dq.astype(q.dtype), dk.astype(k.dtype),
+                dv.astype(v.dtype)) + zeros
 
-    fa.defvjp(fwd, bwd)
+    fa.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_xla)
     return fa
 
 
@@ -299,6 +503,7 @@ def flash_attention(
     if has_mask:
         extras += [maskf]
 
-    fa = _make_fa(has_rope, has_mask, causal, scale_v, bq, interpret)
+    bwd_impl = os.environ.get("DEEPCORO_FLASH_BWD", "pallas")
+    fa = _make_fa(has_rope, has_mask, causal, scale_v, bq, interpret, bwd_impl)
     out = fa(qp, kp, vp, *extras)
     return out[:, :, :Lq, :Dh]

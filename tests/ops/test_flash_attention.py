@@ -82,3 +82,35 @@ def test_cross_attention_no_rope():
     ref = multi_head_attention(q, k, v)
     got = flash_attention(q, k, v, backend="interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("case", ["mask", "causal", "cross"])
+def test_flash_pallas_backward_variants(case):
+    """The Pallas backward kernel must match oracle grads for every static
+    configuration (mask / causal / cross-attention)."""
+    r = np.random.default_rng(1)
+    if case == "cross":
+        q = _rand((2, 2, 32, 32), 0)
+        k = _rand((2, 2, 96, 32), 1)
+        v = _rand((2, 2, 96, 32), 2)
+        mask = None
+        causal = False
+    else:
+        q = _rand((2, 2, 96, 32), 0)
+        k, v = _rand((2, 2, 96, 32), 1), _rand((2, 2, 96, 32), 2)
+        mask = (jnp.asarray(r.random((2, 96)) > 0.3) if case == "mask" else None)
+        causal = case == "causal"
+
+    def lf(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, kv_mask=mask, causal=causal, backend="interpret") ** 2)
+
+    def lr(q, k, v):
+        return jnp.sum(multi_head_attention(
+            q, k, v, kv_mask=mask, causal=causal) ** 2)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

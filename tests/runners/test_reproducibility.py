@@ -1,0 +1,73 @@
+"""Batch-size invariance of eval embeddings (the reference's reproducibility
+criterion, scripts/run_reproducibility_tests.py:1-8)."""
+
+import numpy as np
+import pytest
+
+from deepcoro_clip_tpu.registry import register_all
+
+register_all()
+
+
+@pytest.fixture(scope="module")
+def runner_factory(tmp_path_factory):
+    import pandas as pd
+    import yaml
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.runners.contrastive import VideoContrastiveLearningRunner
+
+    root = tmp_path_factory.mktemp("repro")
+    r = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        p = root / f"c{i}.npy"
+        np.save(p, r.integers(0, 255, size=(6, 32, 32, 3)).astype(np.uint8))
+        rows.append({"FileName": str(p), "StudyInstanceUID": f"S{i}",
+                     "Split": "val", "Report": f"report {i}"})
+    csv = root / "d.csv"
+    pd.DataFrame(rows).to_csv(csv, sep="α", index=False)
+    base = dict(
+        pipeline_project="DeepCORO_clip", run_mode="val",
+        data_filename=str(csv), output_dir=str(root / "out"),
+        frames=4, resize=32, num_workers=1,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        text_dim=32, text_depth=1, text_heads=2, text_vocab_size=512,
+        max_text_length=16, embedding_dim=16, num_heads=2, aggregator_depth=1,
+        dropout=0.0, lr=1e-3, precision="fp32", use_pallas_attention=False,
+        use_wandb=False, seed=0,
+        dataset_mean=[127.0, 127.0, 127.0], dataset_std=[50.0, 50.0, 50.0],
+    )
+
+    def make(batch_size):
+        cfg_d = dict(base, batch_size=batch_size)
+        p = root / f"cfg{batch_size}.yaml"
+        yaml.safe_dump(cfg_d, p.open("w"))
+        cfg = parse_config(["--base_config", str(p)])
+        return VideoContrastiveLearningRunner(cfg, output_dir=root / "run")
+
+    return make
+
+
+def _embeddings(runner):
+    embs, keys = [], []
+    for batch in runner.loaders["val"]:
+        n = len(batch["paths"])
+        db = runner.bundle.batch_sharding_fn(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        )
+        out = runner.eval_step(runner.state.params, db)
+        embs.append(np.asarray(out["video_emb"], np.float32)[:n])
+        keys.extend(p[0] for p in batch["paths"])
+    emb = np.concatenate(embs)
+    order = np.argsort(keys)
+    return emb[order]
+
+
+def test_embeddings_invariant_to_batch_size(runner_factory):
+    """Predictions at batch sizes {1, 3, 12} must match (same seeded params
+    across runners)."""
+    ref = _embeddings(runner_factory(12))
+    for bs in (1, 3, 4):
+        got = _embeddings(runner_factory(bs))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
