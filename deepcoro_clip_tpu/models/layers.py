@@ -93,9 +93,15 @@ class Attention(nn.Module):
         B, Lq, _ = x.shape
         Lk = ctx.shape[1]
 
-        q = dense(self.dim, (None, "model"), dtype=self.dtype, name="q")(x)
-        k = dense(self.dim, (None, "model"), dtype=self.dtype, name="k")(ctx)
-        v = dense(self.dim, (None, "model"), dtype=self.dtype, name="v")(ctx)
+        if context is None:
+            # fused QKV projection: one wide MXU matmul instead of three
+            qkv = dense(3 * self.dim, (None, "model"), dtype=self.dtype,
+                        name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(self.dim, (None, "model"), dtype=self.dtype, name="q")(x)
+            k = dense(self.dim, (None, "model"), dtype=self.dtype, name="k")(ctx)
+            v = dense(self.dim, (None, "model"), dtype=self.dtype, name="v")(ctx)
 
         def split(t, L):
             return t.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -72,7 +72,7 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="attention_norm")(x + attn)
         x = x.astype(self.dtype)
         h = dense(self.mlp_dim, (None, "model"), dtype=self.dtype, name="intermediate")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # exact erf GELU (HF BERT parity)
         h = dense(self.dim, ("model", None), dtype=self.dtype, name="output")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(dtype=jnp.float32, name="output_norm")(x + h)
@@ -86,6 +86,7 @@ class TextEncoder(nn.Module):
     dim: int = 768
     depth: int = 12
     num_heads: int = 12
+    mlp_dim: Optional[int] = None  # defaults to 4*dim (BERT-base)
     max_positions: int = 512
     dropout: float = 0.1
     proj_dropout: float = 0.1
@@ -93,10 +94,13 @@ class TextEncoder(nn.Module):
     use_flash: bool = True
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+    def __call__(self, input_ids, attention_mask=None, deterministic=True,
+                 return_hidden=False):
         """input_ids: [B, L] int32; attention_mask: [B, L] (1 = real token).
 
-        Returns [B, embedding_dim] (CLS token -> projection head).
+        Returns [B, embedding_dim] (CLS token -> projection head), or the
+        full hidden states [B, L, dim] when ``return_hidden`` (weight-import
+        parity checks, captioning memory).
         """
         B, L = input_ids.shape
         tok = nn.Embed(
@@ -114,10 +118,12 @@ class TextEncoder(nn.Module):
 
         for i in range(self.depth):
             x = BertLayer(
-                self.dim, self.num_heads, self.dim * 4, self.dropout,
-                self.dtype, self.use_flash, name=f"layer{i}",
+                self.dim, self.num_heads, self.mlp_dim or self.dim * 4,
+                self.dropout, self.dtype, self.use_flash, name=f"layer{i}",
             )(x, attention_mask, deterministic)
 
+        if return_hidden:
+            return x
         cls = x[:, 0, :]  # CLS-token output (reference: text_encoder.py:120-137)
         return ProjectionHead(
             self.embedding_dim, dropout=self.proj_dropout, dtype=self.dtype,

@@ -422,7 +422,8 @@ class VideoContrastiveLearningRunner:
         )
 
         if cfg.is_ref_device:
-            # artifacts (reference saves val_unique_texts.csv + text emb .pt)
+            # artifacts (reference saves val_unique_texts.csv + text emb .pt
+            # + per-video retrieval CSV, utils/wandb_logger.py:908)
             art = self.output_dir / split
             art.mkdir(parents=True, exist_ok=True)
             pd.DataFrame({"text": unique_texts}).to_csv(
@@ -431,6 +432,24 @@ class VideoContrastiveLearningRunner:
             np.savez(
                 art / f"text_embeddings_epoch_{epoch}.npz",
                 text_embeddings=t_emb, video_embeddings=v_emb,
+            )
+            k = min(5, sim.shape[1])
+            topk = np.argsort(-sim, axis=1)[:, :k]
+            rows = []
+            for i in range(len(v_emb)):
+                gt_rank = int(
+                    1 + np.sum(sim[i] > sim[i, text_ids[i]])
+                )
+                rows.append({
+                    "gt_text": unique_texts[text_ids[i]],
+                    "gt_rank": gt_rank,
+                    **{f"top{j+1}_text": unique_texts[t]
+                       for j, t in enumerate(topk[i])},
+                    **{f"top{j+1}_score": float(sim[i, t])
+                       for j, t in enumerate(topk[i])},
+                })
+            pd.DataFrame(rows).to_csv(
+                art / f"retrieval_results_epoch_{epoch}.csv", index=False
             )
         return metrics
 

@@ -364,3 +364,45 @@ def make_eval_step(bundle: ClipBundle):
         }
 
     return jax.jit(step)
+
+
+def make_scan_train_steps(bundle: ClipBundle, n_steps: int = 4):
+    """K train steps fused into one jitted program via lax.scan (single
+    dispatch). Used by bench.py to measure pure device step time; training
+    loops use make_train_step (per-step host control for schedules/logging).
+    """
+    single = None
+
+    def loss_fn(params, batch, rng):
+        out = compute_loss(bundle, params, batch, {"dropout": rng},
+                           deterministic=False)
+        return out["loss"], out
+
+    def one_step(state, batch, rng):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = bundle.tx.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    def run(state, batch, rng):
+        def body(carry, i):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, loss = one_step(st, batch, sub)
+            return (st, r), loss
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, rng), jnp.arange(n_steps)
+        )
+        return state, {"loss": losses[-1]}
+
+    return jax.jit(
+        run,
+        in_shardings=(bundle.state_sharding, None, None),
+        out_shardings=(bundle.state_sharding, None),
+        donate_argnums=(0,),
+    )

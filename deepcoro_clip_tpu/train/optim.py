@@ -158,3 +158,62 @@ def make_clip_optimizer(
 
 def global_norm(tree: PyTree) -> jax.Array:
     return optax.global_norm(tree)
+
+
+def layerwise_lr_decay_scales(params: PyTree, decay: float = 0.9,
+                              layer_pattern: str = r"layer(\d+)|block(\d+)") -> PyTree:
+    """BERT-style layerwise LR decay (reference LayerwiseLRDecay,
+    utils/optimizer_utils.py:22): leaves in deeper layers get scale
+    decay^(max_layer - layer); embeddings get decay^(max_layer+1); non-layer
+    leaves (heads, norms outside blocks) get 1.0. Returns a per-leaf scale
+    tree to multiply into optimizer updates.
+    """
+    pat = re.compile(layer_pattern)
+
+    def layer_of(name: str) -> Optional[int]:
+        m = pat.search(name)
+        if not m:
+            return None
+        return int(next(g for g in m.groups() if g is not None))
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    layers = []
+    for path, _ in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        l = layer_of(name)
+        if l is not None:
+            layers.append(l)
+    max_layer = max(layers) if layers else 0
+
+    def scale(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        l = layer_of(name)
+        if l is not None:
+            return jnp.float32(decay ** (max_layer - l))
+        if "embed" in name.lower():
+            return jnp.float32(decay ** (max_layer + 1))
+        return jnp.float32(1.0)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def apply_lr_scales(updates: PyTree, scales: PyTree) -> PyTree:
+    return jax.tree_util.tree_map(lambda u, s: u * s.astype(u.dtype),
+                                  updates, scales)
+
+
+class PhasedTrainingSchedule:
+    """Phase-based freeze scheduling (reference PhasedTrainingScheduler,
+    utils/optimizer_utils.py:323): maps epoch -> (video_freeze_ratio,
+    text_freeze_ratio) through ordered phases [(start_epoch, vfr, tfr), ...].
+    """
+
+    def __init__(self, phases):
+        self.phases = sorted(phases)
+
+    def at(self, epoch: int):
+        vfr, tfr = 0.0, 0.0
+        for start, v, t in self.phases:
+            if epoch >= start:
+                vfr, tfr = v, t
+        return vfr, tfr
