@@ -31,9 +31,9 @@ TARGET = 2.0 * A100_CLIPS_PER_SEC_EST
 def main() -> None:
     import jax
 
-    from deepcoro_clip_tpu.utils.compile_cache import enable_compile_cache
+    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
 
-    enable_compile_cache()
+    setup_tpu_defaults()
 
     from deepcoro_clip_tpu.flagship import flagship_config
     from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh

@@ -16,13 +16,13 @@ from typing import Optional, Sequence
 
 from deepcoro_clip_tpu.configs.parser import parse_config
 from deepcoro_clip_tpu.registry import ProjectRegistry, register_all
-from deepcoro_clip_tpu.utils.compile_cache import enable_compile_cache
+from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
 from deepcoro_clip_tpu.utils.seed import set_seed
 
 
 def main(argv: Optional[Sequence[str]] = None):
     register_all()
-    enable_compile_cache()
+    setup_tpu_defaults()
     config = parse_config(argv)
     set_seed(config.seed)
     project_cls = ProjectRegistry.get(config.pipeline_project)

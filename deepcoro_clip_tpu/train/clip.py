@@ -136,6 +136,12 @@ def build_clip_bundle(
         gradient_accumulation_steps=config.gradient_accumulation_steps,
     )
     tx = optim_lib.make_clip_optimizer(config, schedule, params)
+    if config.gradient_accumulation_steps > 1:
+        # micro-batch accumulation (reference grad-accum,
+        # runners/video_constrative_learning_runner.py:1223,1387-1424).
+        # NOTE: with a contrastive loss the NxN matrix only spans each
+        # micro-batch — same semantics as the reference.
+        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
     opt_state = tx.init(params)
 
     state = TrainState(

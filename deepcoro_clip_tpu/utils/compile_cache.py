@@ -1,4 +1,4 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache + TPU runtime defaults.
 
 First compilation of the flagship train step takes tens of minutes through
 the remote-compile tunnel; the on-disk cache makes every later process start
@@ -23,5 +23,19 @@ def enable_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def setup_tpu_defaults() -> None:
+    """Performance defaults for TPU runs: persistent compile cache + the
+    hardware RBG PRNG (threefry dropout-mask generation is a measurable cost
+    on the VPU; rbg uses the on-chip generator)."""
+    import jax
+
+    enable_compile_cache()
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass

@@ -128,3 +128,23 @@ def test_eval_step_deterministic(mesh):
     o2 = eval_fn(state.params, batch)
     np.testing.assert_array_equal(np.asarray(o1["video_emb"]),
                                   np.asarray(o2["video_emb"]))
+
+
+def test_gradient_accumulation(mesh):
+    """MultiSteps: params only change every k micro-batches (reference
+    grad-accum, runners/video_constrative_learning_runner.py:1223)."""
+    # cosine (no warmup): lr > 0 at the very first optimizer step
+    cfg = tiny_config(gradient_accumulation_steps=2, scheduler_name="cosine")
+    bundle, state = build_clip_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    step_fn = make_train_step(bundle)
+    batch = bundle.batch_sharding_fn(synth_batch(cfg))
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(state.params["video_encoder"])[0])
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), 0.0, 0.0, -1.0)
+    p1 = np.asarray(
+        jax.tree_util.tree_leaves(state.params["video_encoder"])[0])
+    np.testing.assert_array_equal(p0, p1)  # first micro-batch: no update yet
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1), 0.0, 0.0, -1.0)
+    p2 = np.asarray(
+        jax.tree_util.tree_leaves(state.params["video_encoder"])[0])
+    assert not np.array_equal(p1, p2)  # second micro-batch applies the update
