@@ -234,16 +234,56 @@ class VideoEncoder(nn.Module):
         raise ValueError(f"unknown token mode {mode!r}")
 
 
+# TPU-native size presets for the reference's ``model_name`` values
+# (reference backbones: mvit_v2_s / r3d_18 / x3d_s / x3d_m,
+# models/video_encoder.py:18-637). Weight parity is impossible by design;
+# these match each backbone's capacity class with a CoroViT of similar
+# parameter count and token budget. Explicit vit_* config fields override.
+MODEL_PRESETS = {
+    "mvit": dict(vit_dim=512, vit_depth=12, vit_heads=4,
+                 vit_patch=(2, 16, 16), vit_pool_stages=(3,)),
+    "mvit_rope": dict(vit_dim=512, vit_depth=12, vit_heads=4,
+                      vit_patch=(2, 16, 16), vit_pool_stages=(3,)),
+    "vit": dict(vit_dim=512, vit_depth=12, vit_heads=4,
+                vit_patch=(2, 16, 16), vit_pool_stages=()),
+    "x3d_s": dict(vit_dim=256, vit_depth=8, vit_heads=2,
+                  vit_patch=(2, 16, 16), vit_pool_stages=(2,)),
+    "x3d_m": dict(vit_dim=384, vit_depth=10, vit_heads=3,
+                  vit_patch=(2, 16, 16), vit_pool_stages=(2,)),
+    "r3d": dict(vit_dim=384, vit_depth=8, vit_heads=3,
+                vit_patch=(4, 16, 16), vit_pool_stages=(2,)),
+}
+
+
+def resolve_architecture(cfg) -> dict:
+    """model_name preset, overridden by explicitly-set vit_* fields (a field
+    differing from the ClipConfig default is treated as explicit)."""
+    from deepcoro_clip_tpu.configs.clip import ClipConfig
+
+    preset = dict(MODEL_PRESETS.get(str(cfg.model_name).lower(), {}))
+    defaults = ClipConfig()
+    out = {}
+    for key in ("vit_dim", "vit_depth", "vit_heads", "vit_patch",
+                "vit_pool_stages"):
+        explicit = getattr(cfg, key) != getattr(defaults, key)
+        if explicit or key not in preset:
+            out[key] = getattr(cfg, key)
+        else:
+            out[key] = preset[key]
+    return out
+
+
 def video_encoder_from_config(cfg, aggregate=None, per_video=None) -> VideoEncoder:
     """Build from a ClipConfig/LinearProbingConfig (field parity with the
     reference constructor args)."""
+    arch = resolve_architecture(cfg)
     return VideoEncoder(
         embedding_dim=cfg.embedding_dim,
-        backbone_dim=cfg.vit_dim,
-        depth=cfg.vit_depth,
-        backbone_heads=cfg.vit_heads,
-        patch=tuple(cfg.vit_patch),
-        pool_stages=tuple(cfg.vit_pool_stages),
+        backbone_dim=arch["vit_dim"],
+        depth=arch["vit_depth"],
+        backbone_heads=arch["vit_heads"],
+        patch=tuple(arch["vit_patch"]),
+        pool_stages=tuple(arch["vit_pool_stages"]),
         num_heads=cfg.num_heads,
         aggregator_depth=cfg.aggregator_depth,
         dropout=cfg.dropout,

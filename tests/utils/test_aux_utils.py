@@ -123,3 +123,45 @@ def test_manifests_work_with_siglip_resources(tmp_path):
     pos = res.sample_positives("v0", k=4)
     assert len(pos) == 2
     assert res.video_is_abnormal("v0")
+
+
+def test_qualitative_html_report(tmp_path):
+    from deepcoro_clip_tpu.utils.qualitative import write_retrieval_report
+
+    recs = [
+        {"path": "a.avi", "gt_text": "severe lad", "gt_rank": 1,
+         "topk_texts": ["severe lad", "normal"], "topk_scores": [0.9, 0.2],
+         "frame": np.random.default_rng(0).random((32, 32, 3))},
+        {"path": "b.avi", "gt_text": "normal rca", "gt_rank": 7,
+         "topk_texts": ["cto"], "topk_scores": [0.5]},
+    ]
+    p = write_retrieval_report(tmp_path / "report.html", recs)
+    text = p.read_text()
+    assert "severe lad" in text and "rank 7" in text
+    assert "data:image/png;base64" in text
+
+
+def test_get_best_epoch(tmp_path):
+    from deepcoro_clip_tpu.utils.qualitative import get_best_epoch
+
+    (tmp_path / "metrics.jsonl").write_text(
+        '{"step": 0, "val/loss": 2.0}\n{"step": 1, "val/loss": 0.5}\n'
+        '{"step": 2, "val/loss": 1.0}\n'
+    )
+    assert get_best_epoch(tmp_path) == 1
+    assert get_best_epoch(tmp_path, key="missing") is None
+
+
+def test_model_name_presets():
+    from deepcoro_clip_tpu.configs import ClipConfig
+    from deepcoro_clip_tpu.models.video_encoder import resolve_architecture
+
+    x3d = ClipConfig.from_dict({"model_name": "x3d_s"})
+    arch = resolve_architecture(x3d)
+    assert arch["vit_dim"] == 256 and arch["vit_depth"] == 8
+    # explicit fields override the preset
+    custom = ClipConfig.from_dict({"model_name": "x3d_s", "vit_dim": 64})
+    assert resolve_architecture(custom)["vit_dim"] == 64
+    # mvit preset pools at block 3 (reference 392-token budget)
+    mvit = ClipConfig.from_dict({"model_name": "mvit"})
+    assert tuple(resolve_architecture(mvit)["vit_pool_stages"]) == (3,)
