@@ -451,6 +451,27 @@ class VideoContrastiveLearningRunner:
             pd.DataFrame(rows).to_csv(
                 art / f"retrieval_results_epoch_{epoch}.csv", index=False
             )
+            # best/worst qualitative HTML panel (reference
+            # utils/siglip_logging.py:106-484, wandb_logger.py:625-807)
+            from deepcoro_clip_tpu.utils.qualitative import (
+                write_retrieval_report,
+            )
+
+            write_retrieval_report(
+                art / f"qualitative_epoch_{epoch}.html",
+                [
+                    {
+                        "path": "", "gt_text": r["gt_text"],
+                        "gt_rank": r["gt_rank"],
+                        "topk_texts": [r[f"top{j+1}_text"]
+                                       for j in range(k)],
+                        "topk_scores": [r[f"top{j+1}_score"]
+                                        for j in range(k)],
+                    }
+                    for r in rows
+                ],
+                title=f"{split} retrieval epoch {epoch}",
+            )
         return metrics
 
     # ------------------------------------------------------------------ #
