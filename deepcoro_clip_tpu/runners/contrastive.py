@@ -327,6 +327,13 @@ class VideoContrastiveLearningRunner:
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n += 1
+            # per-step logging (reference per-batch metrics,
+            # runners/video_constrative_learning_runner.py:1510-1530)
+            if i % max(1, self.config.period * 10) == 0:
+                self.logger.log(
+                    {f"step/{k}": float(v) for k, v in metrics.items()},
+                    step=int(self.state.step),
+                )
         return {k: v / max(n, 1) for k, v in agg.items()}
 
     # ------------------------------------------------------------------ #
