@@ -377,8 +377,6 @@ def make_scan_train_steps(bundle: ClipBundle, n_steps: int = 4):
     dispatch). Used by bench.py to measure pure device step time; training
     loops use make_train_step (per-step host control for schedules/logging).
     """
-    single = None
-
     def loss_fn(params, batch, rng):
         out = compute_loss(bundle, params, batch, {"dropout": rng},
                            deterministic=False)
