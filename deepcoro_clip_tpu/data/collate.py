@@ -130,28 +130,3 @@ def collate_mil(
     if "view_ids" in items[0]:
         out["view_ids"] = np.stack([it["view_ids"] for it in items])
     return out
-
-
-def pad_batch(batch: Dict[str, Any], to_size: int) -> Dict[str, Any]:
-    """Pad a short final batch to the static batch size with a sample_mask
-    (keeps XLA shapes constant; the reference instead drops/duplicates,
-    runners/video_constrative_learning_runner.py:676-685)."""
-    first = batch["videos"]
-    n = first.shape[0]
-    if n == to_size:
-        batch["sample_mask"] = np.ones((to_size,), np.float32)
-        return batch
-    pad = to_size - n
-
-    def pad_arr(x):
-        if isinstance(x, dict):
-            return {k: pad_arr(v) for k, v in x.items()}
-        if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == n:
-            return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-        return x
-
-    out = {k: pad_arr(v) for k, v in batch.items()}
-    out["sample_mask"] = np.concatenate(
-        [np.ones((n,), np.float32), np.zeros((pad,), np.float32)]
-    )
-    return out

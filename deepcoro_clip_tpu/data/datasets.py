@@ -75,7 +75,7 @@ class VideoClipDataset:
         self.rand_augment = rand_augment and (split == "train")
         self.training = split == "train"
         self.extra_columns = list(extra_columns)
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
 
         df = read_csv_with_fallback(data_filename)
         if split_column in df.columns and split is not None and split != "all":
@@ -93,17 +93,37 @@ class VideoClipDataset:
             df = df[exists]
         self.df = df.reset_index(drop=True)
 
+        self.epoch = 0
         if multi_video:
             self._init_multi_video()
         else:
             self.samples = [
                 {
                     "paths": [row["__path"]],
-                    "text": row.get(target_label, "") if target_label else "",
+                    "text": self._clean_text(
+                        row.get(target_label) if target_label else ""
+                    ),
                     "row_indices": [i],
                 }
                 for i, row in self.df.iterrows()
             ]
+
+    @staticmethod
+    def _clean_text(value) -> str:
+        """Missing/NaN report cells become '' (the HF tokenizer rejects
+        non-str inputs)."""
+        return value if isinstance(value, str) else ""
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _item_rng(self, i: int) -> np.random.Generator:
+        """Per-item, per-epoch generator: deterministic AND thread-safe (the
+        prefetch loader calls __getitem__ from multiple threads; a shared
+        Generator would race)."""
+        if not self.training:
+            return np.random.default_rng((42, i))
+        return np.random.default_rng((self._seed, self.epoch, i))
 
     def _init_multi_video(self):
         """Group clips into studies, one report per study
@@ -143,28 +163,38 @@ class VideoClipDataset:
             log.warning("failed to load %s: %s", path, e)
             return np.zeros((self.frames, self.resize, self.resize, 3), np.float32)
 
+    def _select_clips(self, sample, rng) -> list[int]:
+        """Indices into sample['paths']/'row_indices' for the clips used this
+        epoch (permutation happens on INDICES so per-clip metadata like view
+        ids stays aligned with the loaded videos)."""
+        n_avail = len(sample["paths"])
+        N = self.num_videos if self.multi_video else 1
+        sel = list(range(n_avail))
+        if self.multi_video and n_avail > N:
+            if self.shuffle_videos and self.training:
+                sel = list(rng.permutation(n_avail)[:N])
+            else:
+                sel = sel[:N]
+        return sel[:N]
+
     def __getitem__(self, i: int) -> Dict[str, Any]:
         sample = self.samples[i]
-        rng = self._rng if self.training else np.random.default_rng(42 + i)
-        paths = list(sample["paths"])
+        rng = self._item_rng(i)
         N = self.num_videos if self.multi_video else 1
-        if self.multi_video:
-            if len(paths) > N:
-                if self.shuffle_videos and self.training:
-                    paths = list(rng.permutation(paths)[:N])
-                else:
-                    paths = paths[:N]
+        sel = self._select_clips(sample, rng)
+        paths = [sample["paths"][j] for j in sel]
         videos = np.zeros((N, self.frames, self.resize, self.resize, 3), np.float32)
         mask = np.zeros((N,), bool)
-        for j, p in enumerate(paths[:N]):
+        for j, p in enumerate(paths):
             videos[j] = self._load_one(p, rng)
             mask[j] = True
         out = {
             "videos": videos,
             "video_mask": mask,
             "text": sample["text"],
-            "paths": paths[:N] + [""] * (N - len(paths[:N])),
+            "paths": paths + [""] * (N - len(paths)),
             "study_id": sample.get("study_id", paths[0] if paths else ""),
+            "selected_rows": [sample["row_indices"][j] for j in sel],
         }
         for c in self.extra_columns:
             first = self.df.loc[sample["row_indices"][0]]
@@ -185,7 +215,6 @@ class VideoDataset(VideoClipDataset):
         num_view_classes: int = 0,
         **kwargs,
     ):
-        cols = list(target_labels) + ([view_column] if view_column else [])
         super().__init__(*args, target_label=None, extra_columns=(), **kwargs)
         self.target_labels = list(target_labels)
         self.labels_map = labels_map or {}
@@ -197,8 +226,7 @@ class VideoDataset(VideoClipDataset):
     def __getitem__(self, i: int) -> Dict[str, Any]:
         out = super().__getitem__(i)
         sample = self.samples[i]
-        rows = self.df.loc[sample["row_indices"]]
-        first = rows.iloc[0]
+        first = self.df.loc[sample["row_indices"][0]]
         targets: Dict[str, np.ndarray] = {}
         for col in self.target_labels:
             v = first.get(col, np.nan)
@@ -210,8 +238,10 @@ class VideoDataset(VideoClipDataset):
         if self.view_column:
             N = self.num_videos
             view_ids = np.full((N,), self.pad_view_id, np.int32)
-            vals = rows[self.view_column].tolist()[:N]
-            for j, v in enumerate(vals):
+            # per-clip metadata follows the SELECTED clip order so view ids
+            # stay aligned with the loaded (possibly shuffled) videos
+            sel_rows = self.df.loc[out["selected_rows"]]
+            for j, v in enumerate(sel_rows[self.view_column].tolist()[:N]):
                 try:
                     view_ids[j] = int(v)
                 except (TypeError, ValueError):

@@ -70,6 +70,8 @@ def resize_bilinear(frames: np.ndarray, oh: int, ow: int) -> np.ndarray:
     """[F,H,W,C] uint8 -> [F,oh,ow,C] float32."""
     lib = _load()
     assert lib is not None
+    if frames.dtype != np.uint8:
+        raise TypeError(f"fastvideo operates on uint8 frames, got {frames.dtype}")
     frames = np.ascontiguousarray(frames, np.uint8)
     F, H, W, C = frames.shape
     out = np.empty((F, oh, ow, C), np.float32)
@@ -88,6 +90,8 @@ def sample_resize_normalize(
     """Fused gather+resize+normalize: [F,H,W,C] u8 + [n] idx -> [n,oh,ow,C] f32."""
     lib = _load()
     assert lib is not None
+    if frames.dtype != np.uint8:
+        raise TypeError(f"fastvideo operates on uint8 frames, got {frames.dtype}")
     frames = np.ascontiguousarray(frames, np.uint8)
     F, H, W, C = frames.shape
     idx = np.ascontiguousarray(idx, np.int64)

@@ -214,7 +214,6 @@ class SiglipVideoDataset(VideoClipDataset):
         self.max_pos = max_positive_per_video
         self.n_neg = negatives_per_video
         self.round_robin = round_robin
-        self.epoch = 0
         # drop samples with no positives (reference :443-445)
         kept = []
         for s in self.samples:
@@ -222,9 +221,6 @@ class SiglipVideoDataset(VideoClipDataset):
             if self.siglip.video_to_positives.get(vid):
                 kept.append(s)
         self.samples = kept
-
-    def set_epoch(self, epoch: int) -> None:
-        self.epoch = epoch
 
     def _vid_of(self, sample) -> str:
         row = self.df.loc[sample["row_indices"][0]]
@@ -242,7 +238,11 @@ class SiglipVideoDataset(VideoClipDataset):
     def __getitem__(self, i: int):
         out = super().__getitem__(i)
         vid = self._vid_of(self.samples[i])
-        rng = np.random.default_rng(hash((vid, self.epoch)) % (2**31))
+        # crc32, not hash(): str hash is salted per interpreter and would
+        # break cross-run reproducibility of positive/negative sampling
+        import zlib
+
+        rng = np.random.default_rng((zlib.crc32(vid.encode()), self.epoch))
         out["positives"] = self.siglip.sample_positives(
             vid, self.max_pos, round_robin=self.round_robin,
             epoch=self.epoch, rng=rng,

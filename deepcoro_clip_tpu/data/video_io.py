@@ -103,9 +103,13 @@ def sample_frame_indices(
 def _resize_frames(frames: np.ndarray, size: int) -> np.ndarray:
     if frames.shape[1] == size and frames.shape[2] == size:
         return frames
-    if _fast.available():
+    # the native kernel operates on uint8; float-valued .npy clips must take
+    # the cv2/numpy path (a uint8 cast would silently truncate them)
+    if frames.dtype == np.uint8 and _fast.available():
         return _fast.resize_bilinear(frames, size, size)
     if _HAS_CV2:
+        if frames.dtype not in (np.uint8, np.float32):
+            frames = frames.astype(np.float32)  # cv2 rejects e.g. int64
         return np.stack(
             [cv2.resize(f, (size, size), interpolation=cv2.INTER_LINEAR)
              for f in frames]

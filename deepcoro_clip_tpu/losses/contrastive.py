@@ -22,20 +22,25 @@ import jax.numpy as jnp
 
 from deepcoro_clip_tpu.registry import LossRegistry
 
+NEG_LOGIT = -1e30
+
 
 def l2_normalize(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     x = x.astype(jnp.float32)
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
-def _ce_with_smoothing(logits: jax.Array, labels: jax.Array, smoothing: float):
+def _ce_with_smoothing(logits: jax.Array, labels: jax.Array, smoothing: float,
+                       row_weights: Optional[jax.Array] = None):
     logp = jax.nn.log_softmax(logits, axis=-1)
-    n = logits.shape[-1]
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if smoothing > 0.0:
         uniform = -logp.mean(axis=-1)
         nll = (1.0 - smoothing) * nll + smoothing * uniform
-    return nll
+    if row_weights is None:
+        return nll.mean()
+    w = row_weights.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 @LossRegistry.register(
@@ -47,19 +52,29 @@ def clip_loss(
     text_emb: jax.Array,
     log_temp: jax.Array,
     label_smoothing: float = 0.0,
+    sample_mask: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Bidirectional InfoNCE over the global batch
     (reference CLIPLoss, utils/loss/contrastive.py:108-164).
 
-    video_emb/text_emb: [B, D] (batch-sharded is fine); log_temp: scalar.
+    video_emb/text_emb: [B, D] (batch-sharded is fine); log_temp: scalar;
+    sample_mask: optional [B] (1 = real row) — padded rows are excluded both
+    as anchors and as negatives (fixed-shape TPU batches).
     """
     v = l2_normalize(video_emb)
     t = l2_normalize(text_emb)
     temp = jnp.maximum(jnp.exp(log_temp), 1e-4)  # clamp (reference :150)
     sim = (v @ t.T) / temp  # [B, B] global
     labels = jnp.arange(sim.shape[0])
-    loss_v = _ce_with_smoothing(sim, labels, label_smoothing).mean()
-    loss_t = _ce_with_smoothing(sim.T, labels, label_smoothing).mean()
+    if sample_mask is not None:
+        valid = sample_mask.astype(jnp.float32) > 0
+        sim_v = jnp.where(valid[None, :], sim, NEG_LOGIT)
+        sim_t = jnp.where(valid[None, :], sim.T, NEG_LOGIT)
+        loss_v = _ce_with_smoothing(sim_v, labels, label_smoothing, valid)
+        loss_t = _ce_with_smoothing(sim_t, labels, label_smoothing, valid)
+    else:
+        loss_v = _ce_with_smoothing(sim, labels, label_smoothing)
+        loss_t = _ce_with_smoothing(sim.T, labels, label_smoothing)
     loss = 0.5 * (loss_v + loss_t)
     return {"loss": loss, "similarity": sim, "temperature": temp}
 
@@ -71,6 +86,7 @@ def siglip_pairwise_loss(
     log_temp: jax.Array,
     bias: jax.Array,
     logit_clamp: float = 30.0,
+    sample_mask: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Square pairwise sigmoid loss, diagonal positives (SigLIP;
     reference SiglipLoss, utils/loss/losses.py:160-276).
@@ -82,7 +98,13 @@ def siglip_pairwise_loss(
     logits = jnp.clip(logits, -logit_clamp, logit_clamp)
     B = logits.shape[0]
     labels = 2.0 * jnp.eye(B) - 1.0  # +1 diag, -1 off-diag
-    loss = jnp.mean(jax.nn.softplus(-labels * logits))
+    per_pair = jax.nn.softplus(-labels * logits)
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)
+        w = m[:, None] * m[None, :]
+        loss = jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        loss = jnp.mean(per_pair)
     return {"loss": loss, "similarity": logits, "temperature": temp}
 
 
@@ -114,6 +136,7 @@ def siglip_multi_positive_loss(
     logit_clamp: float = 30.0,
     entropy_reg_weight: float = 0.0,
     auto_balance: bool = False,
+    sample_mask: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Multi-positive sigmoid BCE against a unique-text bank.
 
@@ -144,6 +167,8 @@ def siglip_multi_positive_loss(
                           (n_pos + n_neg) / (2.0 * n_neg))
     if text_valid is not None:
         w = w * text_valid.astype(jnp.float32)[None, :]
+    if sample_mask is not None:
+        w = w * sample_mask.astype(jnp.float32)[:, None]
 
     loss = jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1.0)
     loss = loss + entropy_regularization(logits, entropy_reg_weight)

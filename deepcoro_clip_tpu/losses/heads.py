@@ -15,7 +15,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from deepcoro_clip_tpu.registry import LossRegistry
 
@@ -112,7 +111,13 @@ def multi_head_loss(
     total = jnp.float32(0.0)
     for head, loss_name in loss_structure.items():
         fn = LossRegistry.get(loss_name)
-        lh = fn(outputs[head], targets[head], sample_mask=sample_mask)
+        pred = outputs[head]
+        tgt = targets[head]
+        # single-output heads emit [B, 1]; align with [B] targets so the
+        # elementwise losses don't broadcast to [B, B]
+        if pred.ndim == tgt.ndim + 1 and pred.shape[-1] == 1:
+            pred = pred[..., 0]
+        lh = fn(pred, tgt, sample_mask=sample_mask)
         losses[head] = lh
         w = (head_weights or {}).get(head, 1.0)
         total = total + w * lh

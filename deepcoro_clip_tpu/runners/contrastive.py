@@ -198,11 +198,15 @@ class VideoContrastiveLearningRunner:
 
     def _collate(self, items):
         if self.multi_positive:
+            cfg = self.config
             return collate_multi_positive(
                 items, self.tokenizer,
-                max_text_length=self.config.max_text_length,
-                max_texts=self.config.batch_size
-                * self.config.siglip_max_positive_per_video,
+                max_text_length=cfg.max_text_length,
+                # room for positives AND hard negatives (dedup usually leaves
+                # slack; too-small a bank silently drops negatives)
+                max_texts=cfg.batch_size
+                * (cfg.siglip_max_positive_per_video
+                   + cfg.siglip_negatives_per_video),
             )
         return collate_clip(
             items, self.tokenizer, max_text_length=self.config.max_text_length
@@ -279,20 +283,29 @@ class VideoContrastiveLearningRunner:
                 "dataset_mean": self.stats[0],
                 "dataset_std": self.stats[1],
             }
+            # best/patience tracked on EVERY host (identical metrics under
+            # SPMD) so multi-host runs stay in lockstep through early stop
+            val_loss = val_metrics.get("loss", train_metrics.get("loss"))
+            improved = val_loss is not None and val_loss < self.best_val_loss
+            if improved:
+                self.best_val_loss = float(val_loss)
+                self.best_epoch = epoch
+                meta["best_val_loss"] = self.best_val_loss
+                patience_left = cfg.early_stopping_patience or math.inf
+            else:
+                patience_left -= 1
+            align = val_metrics.get("alignment")
+            new_alignment = (
+                align is not None and align > self.highest_alignment
+            )
+            if new_alignment:
+                self.highest_alignment = float(align)
+
             if self.config.is_ref_device:
                 self.ckpt.save_latest(self.state, meta)
-                val_loss = val_metrics.get("loss", train_metrics.get("loss"))
-                if val_loss is not None and val_loss < self.best_val_loss:
-                    self.best_val_loss = float(val_loss)
-                    self.best_epoch = epoch
-                    meta["best_val_loss"] = self.best_val_loss
+                if improved:
                     self.ckpt.save_best(self.state, epoch, meta)
-                    patience_left = cfg.early_stopping_patience or math.inf
-                else:
-                    patience_left -= 1
-                align = val_metrics.get("alignment")
-                if align is not None and align > self.highest_alignment:
-                    self.highest_alignment = float(align)
+                if new_alignment:
                     self.ckpt.save_alignment(self.state, epoch, meta)
 
             if patience_left <= 0:
@@ -503,7 +516,8 @@ class VideoContrastiveLearningRunner:
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             )
             out = self.eval_step(self.state.params, device_batch)
-            v = np.asarray(out["video_emb"], np.float32)
+            n_real = len(batch["paths"])  # drop device-padding rows
+            v = np.asarray(out["video_emb"], np.float32)[:n_real]
             v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-8)
             sim = v @ tn.T
             topk = np.argsort(-sim, axis=1)[:, : cfg.topk]

@@ -193,20 +193,23 @@ class LinearProbingRunner:
                             **{f"val_{k}": v for k, v in val_metrics.items()
                                if isinstance(v, (int, float))}})
 
+            meta = {"epoch": epoch, "train_loss": train_metrics.get("loss"),
+                    "val_loss": val_metrics.get("loss"),
+                    "dataset_mean": self.stats[0],
+                    "dataset_std": self.stats[1]}
+            # patience tracked on every host (multi-host lockstep)
+            vl = val_metrics.get("loss", train_metrics.get("loss"))
+            improved = vl is not None and vl < self.best_val_loss
+            if improved:
+                self.best_val_loss = float(vl)
+                self.best_epoch = epoch
+                patience_left = cfg.early_stopping_patience or math.inf
+            else:
+                patience_left -= 1
             if cfg.is_ref_device:
-                meta = {"epoch": epoch, "train_loss": train_metrics.get("loss"),
-                        "val_loss": val_metrics.get("loss"),
-                        "dataset_mean": self.stats[0],
-                        "dataset_std": self.stats[1]}
                 self.ckpt.save_latest(self.state, meta)
-                vl = val_metrics.get("loss", train_metrics.get("loss"))
-                if vl is not None and vl < self.best_val_loss:
-                    self.best_val_loss = float(vl)
-                    self.best_epoch = epoch
+                if improved:
                     self.ckpt.save_best(self.state, epoch, meta)
-                    patience_left = cfg.early_stopping_patience or math.inf
-                else:
-                    patience_left -= 1
             if patience_left <= 0:
                 break
         return {"history": history, "best_epoch": self.best_epoch,

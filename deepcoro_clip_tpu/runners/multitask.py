@@ -7,6 +7,7 @@ weighting from decoded texts, captioning metrics (BLEU/ROUGE).
 
 from __future__ import annotations
 
+import functools
 import math
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -60,6 +61,12 @@ class MultitaskRunner:
             steps_per_epoch=steps,
         )
         self.train_step = mt_train.make_multitask_train_step(self.bundle)
+        # built once: a fresh jit-wrapped lambda per validate() call would
+        # recompile the multitask forward every epoch
+        self._val_fwd = jax.jit(
+            functools.partial(mt_train.multitask_forward, self.bundle,
+                              deterministic=True)
+        )
         self.weight_sched = LossWeightScheduler(
             dict(config.loss_weights), config.loss_weight_schedule
         )
@@ -195,11 +202,7 @@ class MultitaskRunner:
         losses = []
         gen_texts: List[str] = []
         ref_texts: List[str] = []
-        fwd = jax.jit(
-            lambda params, batch, rng: mt_train.multitask_forward(
-                self.bundle, params, batch, rng, deterministic=True
-            )
-        )
+        fwd = self._val_fwd
         for batch in loader:
             n_real = len(batch["texts"])
             db = self.bundle.batch_sharding_fn(

@@ -20,12 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcoro_clip_tpu.losses import contrastive as closs
 from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
-from deepcoro_clip_tpu.parallel.mesh import DATA_AXIS
+from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.registry import LossRegistry
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
@@ -166,48 +166,13 @@ def build_clip_bundle(
     state_sharding = to_named_shardings(mesh, state_spec)
     state = jax.device_put(state, state_sharding)
 
-    n_data = mesh.shape[DATA_AXIS]
-
-    def batch_sharding_fn(batch):
-        """Host batch -> device batch. The leading (batch) axis is padded to a
-        multiple of the data-mesh axis (repeat-last + sample_mask), so ANY
-        host batch size is valid; callers slice real rows back via the
-        returned mask."""
-        batch = dict(batch)
-        n = int(np.asarray(batch["videos"]).shape[0])
-        target = int(np.ceil(n / n_data) * n_data)
-        mask = np.asarray(
-            batch.get("sample_mask", np.ones((n,), np.float32))
-        )
-        replicated_keys = (
-            ("input_ids", "attention_mask", "text_valid") if multi_positive else ("text_valid",)
-        )
-        if target != n:
-            pad = target - n
-
-            def pad_rows(x):
-                x = np.asarray(x)
-                return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-
-            batch = {
-                k: (pad_rows(v) if isinstance(v, np.ndarray) and np.asarray(v).ndim >= 1
-                    and np.asarray(v).shape[0] == n and k not in replicated_keys
-                    else v)
-                for k, v in batch.items()
-            }
-            mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
-        batch["sample_mask"] = mask
-
-        out = {}
-        for k, v in batch.items():
-            v = np.asarray(v)
-            if k in replicated_keys:
-                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
-            else:
-                out[k] = jax.device_put(
-                    v, NamedSharding(mesh, P(DATA_AXIS, *([None] * (v.ndim - 1))))
-                )
-        return out
+    batch_sharding_fn = make_batch_sharding_fn(
+        mesh,
+        replicated_keys=(
+            ("input_ids", "attention_mask", "text_valid")
+            if multi_positive else ("text_valid",)
+        ),
+    )
 
     bundle = ClipBundle(
         config=config, mesh=mesh, video_model=video_model, text_model=text_model,
@@ -245,6 +210,7 @@ def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
     v_emb = jnp.nan_to_num(v_emb)
     t_emb = jnp.nan_to_num(t_emb)
 
+    sample_mask = batch.get("sample_mask")
     if name in MULTI_POSITIVE_LOSSES:
         fn = LossRegistry.get(name)
         out = fn(
@@ -259,6 +225,7 @@ def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
             logit_clamp=cfg.siglip_logit_clamp,
             entropy_reg_weight=cfg.siglip_entropy_reg_weight,
             auto_balance=cfg.siglip_auto_balance,
+            sample_mask=sample_mask,
         ) if name != "multi_positive_infonce" else fn(
             v_emb, t_emb, batch["positive_mask"], params["log_temp"],
             positive_weights=batch.get("positive_weights"),
@@ -268,11 +235,13 @@ def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
         out = closs.siglip_pairwise_loss(
             v_emb, t_emb, params["log_temp"], params["logit_bias"],
             logit_clamp=cfg.siglip_logit_clamp,
+            sample_mask=sample_mask,
         )
     else:
         out = closs.clip_loss(
             v_emb, t_emb, params["log_temp"],
             label_smoothing=cfg.label_smoothing,
+            sample_mask=sample_mask,
         )
     out["video_emb"] = v_emb
     out["text_emb"] = t_emb

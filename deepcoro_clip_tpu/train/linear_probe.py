@@ -18,12 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcoro_clip_tpu.losses.heads import multi_head_loss
 from deepcoro_clip_tpu.models.mil import MultiInstanceLinearProbing
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
-from deepcoro_clip_tpu.parallel.mesh import DATA_AXIS
+from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
 from deepcoro_clip_tpu.train.state import TrainState, to_named_shardings, unbox_with_spec
@@ -181,37 +181,7 @@ def build_probe_bundle(
     state_sharding = to_named_shardings(mesh, state_spec)
     state = jax.device_put(state, state_sharding)
 
-    n_data = mesh.shape[DATA_AXIS]
-
-    def batch_sharding_fn(batch):
-        batch = dict(batch)
-        n = int(np.asarray(batch["videos"]).shape[0])
-        target = int(np.ceil(n / n_data) * n_data)
-        mask_arr = np.asarray(batch.get("sample_mask", np.ones((n,), np.float32)))
-        if target != n:
-            pad = target - n
-
-            def pad_rows(x):
-                if isinstance(x, dict):
-                    return {k: pad_rows(v) for k, v in x.items()}
-                x = np.asarray(x)
-                if x.ndim >= 1 and x.shape[0] == n:
-                    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                return x
-
-            batch = {k: pad_rows(v) for k, v in batch.items()}
-            mask_arr = np.concatenate([mask_arr, np.zeros((pad,), np.float32)])
-        batch["sample_mask"] = mask_arr
-
-        def put(x):
-            if isinstance(x, dict):
-                return {k: put(v) for k, v in x.items()}
-            x = np.asarray(x)
-            return jax.device_put(
-                x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
-            )
-
-        return {k: put(v) for k, v in batch.items()}
+    batch_sharding_fn = make_batch_sharding_fn(mesh)
 
     bundle = ProbeBundle(
         config=cfg, mesh=mesh, video_model=video_model, mil_model=mil_model,

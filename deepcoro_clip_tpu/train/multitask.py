@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcoro_clip_tpu.losses.contrastive import clip_loss
 from deepcoro_clip_tpu.losses.multitask import captioning_loss
@@ -26,7 +26,7 @@ from deepcoro_clip_tpu.models.masked_video_modeling import (
 )
 from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
-from deepcoro_clip_tpu.parallel.mesh import DATA_AXIS
+from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
 from deepcoro_clip_tpu.train.state import TrainState, to_named_shardings, unbox_with_spec
@@ -162,31 +162,7 @@ def build_multitask_bundle(cfg, mesh: Mesh, rng: jax.Array,
     state_sharding = to_named_shardings(mesh, state_spec)
     state = jax.device_put(state, state_sharding)
 
-    n_data = mesh.shape[DATA_AXIS]
-
-    def batch_sharding_fn(batch):
-        batch = dict(batch)
-        n = int(np.asarray(batch["videos"]).shape[0])
-        target = int(np.ceil(n / n_data) * n_data)
-        if target != n:
-            pad = target - n
-
-            def pad_rows(x):
-                x = np.asarray(x)
-                if x.ndim >= 1 and x.shape[0] == n:
-                    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                return x
-
-            batch = {k: pad_rows(v) for k, v in batch.items()}
-        return {
-            k: jax.device_put(
-                np.asarray(v),
-                NamedSharding(
-                    mesh, P(DATA_AXIS, *([None] * (np.asarray(v).ndim - 1)))
-                ),
-            )
-            for k, v in batch.items()
-        }
+    batch_sharding_fn = make_batch_sharding_fn(mesh)
 
     bundle = MultitaskBundle(
         config=cfg, mesh=mesh, video_model=video_model, text_model=text_model,
@@ -213,9 +189,11 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
         attention_mask=batch["attention_mask"], deterministic=deterministic,
         rngs=rngs,
     )
+    sample_mask = batch.get("sample_mask")
     contrastive = clip_loss(
         jnp.nan_to_num(feats["study"]), jnp.nan_to_num(t_emb),
         params["log_temp"], label_smoothing=cfg.label_smoothing,
+        sample_mask=sample_mask,
     )
 
     toks_flat = feats["tokens"].reshape(B, N * L, D)
@@ -225,10 +203,13 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
         attention_mask=batch.get("caption_mask"),
         deterministic=deterministic, rngs=rngs,
     )
+    cap_weights = batch.get("caption_weights")
+    if sample_mask is not None:
+        cap_weights = (cap_weights if cap_weights is not None else 1.0) * sample_mask
     cap_loss = captioning_loss(
         logits, cap_ids, batch["caption_mask"],
         label_smoothing=cfg.caption_label_smoothing,
-        sample_weights=batch.get("caption_weights"),
+        sample_weights=cap_weights,
     )
 
     clip_toks = feats["tokens"].reshape(B * N, L, D)

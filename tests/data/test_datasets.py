@@ -9,7 +9,6 @@ from deepcoro_clip_tpu.data.collate import (
     collate_clip,
     collate_mil,
     collate_multi_positive,
-    pad_batch,
 )
 from deepcoro_clip_tpu.data.datasets import StatsDataset, VideoClipDataset, VideoDataset
 from deepcoro_clip_tpu.data.sampler import ClassAwareBatchSampler, ShardedBatchSampler
@@ -126,15 +125,6 @@ def test_collate_multi_positive_dedups_texts():
     assert b["positive_weights"][0, j] == 3.0
 
 
-def test_pad_batch_marks_padding():
-    b = {"videos": np.zeros((3, 1, 2, 4, 4, 3), np.float32),
-         "targets": {"a": np.arange(3, dtype=np.float32)}}
-    out = pad_batch(b, 4)
-    assert out["videos"].shape[0] == 4
-    assert out["targets"]["a"].shape[0] == 4
-    np.testing.assert_array_equal(out["sample_mask"], [1, 1, 1, 0])
-
-
 def test_sharded_sampler_partitions_batches():
     s0 = ShardedBatchSampler(100, 10, seed=1, process_index=0, process_count=2)
     s1 = ShardedBatchSampler(100, 10, seed=1, process_index=1, process_count=2)
@@ -174,3 +164,59 @@ def test_loader_prefetch(manifest):
     batches = list(loader)
     assert len(batches) == 3
     assert batches[0]["videos"].shape[0] == 2
+
+
+def test_view_ids_follow_shuffled_videos(tmp_path):
+    """Regression: with shuffle_videos=True the view id of clip j must match
+    the clip actually loaded into slot j (clips carry a recognizable
+    per-view constant intensity)."""
+    rows = []
+    for v in range(4):
+        p = tmp_path / f"v{v}.npy"
+        np.save(p, np.full((4, 8, 8, 3), v * 60, np.uint8))
+        rows.append({"FileName": str(p), "StudyInstanceUID": "S0",
+                     "Split": "train", "stenosis": 1.0, "view_id": v})
+    csv = tmp_path / "m.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    ds = VideoDataset(
+        str(csv), split="train", frames=2, resize=8,
+        multi_video=True, num_videos=2, shuffle_videos=True,
+        target_labels=["stenosis"], view_column="view_id", num_view_classes=4,
+        seed=0,
+    )
+    for epoch in range(4):
+        ds.set_epoch(epoch)
+        item = ds[0]
+        for j in range(2):
+            mean_intensity = float(item["videos"][j].mean())
+            expected_view = int(round(mean_intensity / 60.0))
+            assert item["view_ids"][j] == expected_view
+
+
+def test_nan_report_becomes_empty_string(tmp_path):
+    p = tmp_path / "c.npy"
+    np.save(p, np.zeros((4, 8, 8, 3), np.uint8))
+    pd.DataFrame([{"FileName": str(p), "StudyInstanceUID": "S0",
+                   "Split": "train", "Report": np.nan}]).to_csv(
+        tmp_path / "m.csv", index=False)
+    ds = VideoClipDataset(str(tmp_path / "m.csv"), split="train",
+                          frames=2, resize=8)
+    assert ds[0]["text"] == ""
+
+
+def test_getitem_thread_safety_determinism(manifest):
+    """Parallel __getitem__ must give the same augmented items as serial
+    (per-item generators; a shared RNG would race under the prefetch pool)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build():
+        return VideoClipDataset(manifest, split="train", frames=4, resize=16,
+                                rand_augment=True, seed=7)
+
+    ds = build()
+    serial = [ds[i]["videos"] for i in range(len(ds))]
+    ds2 = build()
+    with ThreadPoolExecutor(4) as pool:
+        parallel = list(pool.map(lambda i: ds2[i]["videos"], range(len(ds2))))
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(a, b)

@@ -69,3 +69,15 @@ def test_multi_head_loss_weighted_sum():
     assert float(losses["main"]) == pytest.approx(
         2.0 * float(losses["a"]) + float(losses["b"]), rel=1e-6
     )
+
+
+def test_multi_head_loss_singleton_alignment():
+    """[B,1] head logits vs [B] targets must NOT broadcast to [B,B]
+    (regression test: MIL heads emit [B,1])."""
+    p2d = jnp.asarray([[1.0], [3.0]])
+    p1d = jnp.asarray([1.0, 3.0])
+    t = jnp.asarray([0.0, 1.0])
+    l2 = multi_head_loss({"h": p2d}, {"h": t}, {"h": "mse"})["h"]
+    l1 = multi_head_loss({"h": p1d}, {"h": t}, {"h": "mse"})["h"]
+    assert float(l2) == pytest.approx(float(l1))
+    assert float(l2) == pytest.approx((1.0 + 4.0) / 2)
