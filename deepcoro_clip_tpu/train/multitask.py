@@ -221,10 +221,33 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
         deterministic=deterministic, rngs=rngs,
     )
 
+    # multi<->single-view consistency (reference:
+    # runners/multitask_runner.py:897-913): the aggregated study embedding
+    # should stay close to the masked mean of its per-video embeddings
+    vmask = batch.get("video_mask")
+    per_video = feats["video"].astype(jnp.float32)  # [B, N, D]
+    if vmask is not None:
+        m = vmask.astype(jnp.float32)[..., None]
+        mean_video = (per_video * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+    else:
+        mean_video = per_video.mean(1)
+
+    def _norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+    cos = jnp.sum(_norm(feats["study"].astype(jnp.float32))
+                  * _norm(mean_video), axis=-1)
+    if sample_mask is not None:
+        sm = sample_mask.astype(jnp.float32)
+        consistency = jnp.sum((1.0 - cos) * sm) / jnp.maximum(jnp.sum(sm), 1.0)
+    else:
+        consistency = jnp.mean(1.0 - cos)
+
     return {
         "contrastive": contrastive["loss"],
         "captioning": cap_loss,
         "mvm": mvm_out["loss"],
+        "consistency": consistency,
         "temperature": contrastive["temperature"],
         "video_emb": feats["study"],
         "text_emb": t_emb,
@@ -238,7 +261,8 @@ def make_multitask_train_step(bundle: MultitaskBundle):
     def loss_fn(params, batch, rng, w_con, w_cap, w_mvm):
         out = multitask_forward(bundle, params, batch, rng, deterministic=False)
         total = (w_con * out["contrastive"] + w_cap * out["captioning"]
-                 + w_mvm * out["mvm"])
+                 + w_mvm * out["mvm"]
+                 + cfg.consistency_weight * out["consistency"])
         return total, out
 
     def step(state: TrainState, batch, rng, w_con, w_cap, w_mvm):
@@ -253,6 +277,7 @@ def make_multitask_train_step(bundle: MultitaskBundle):
             "loss_contrastive": out["contrastive"],
             "loss_captioning": out["captioning"],
             "loss_mvm": out["mvm"],
+            "loss_consistency": out["consistency"],
             "temperature": out["temperature"],
             "lr": bundle.schedule(state.step),
         }

@@ -144,3 +144,45 @@ def test_multitask_runner_end_to_end(workspace, tmp_path):
     assert np.isfinite(h["loss"])
     assert {"loss_contrastive", "loss_captioning", "loss_mvm"} <= set(h)
     assert "val_bleu1" in h or "val_loss" in h
+
+
+def test_consistency_loss_in_multitask(tmp_path, workspace):
+    """Multi<->single-view consistency term (reference
+    runners/multitask_runner.py:897-913) is computed and weighted."""
+    import jax
+    from deepcoro_clip_tpu.configs import MultitaskConfig
+    from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.train.multitask import (
+        build_multitask_bundle,
+        make_multitask_train_step,
+        multitask_forward,
+    )
+
+    cfg = MultitaskConfig.from_dict(dict(
+        frames=4, resize=32, batch_size=2, multi_video=True, num_videos=2,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        text_dim=32, text_depth=1, text_heads=2, text_vocab_size=256,
+        max_text_length=8, embedding_dim=16, num_heads=2, aggregator_depth=1,
+        decoder_dim=16, decoder_depth=1, decoder_heads=2, decoder_max_length=8,
+        mvm_decoder_dim=8, mvm_decoder_depth=1, dropout=0.0,
+        precision="fp32", use_pallas_attention=False, consistency_weight=0.5,
+        epochs=1,
+    ))
+    mesh = make_mesh(MeshSpec(data=2, model=1))
+    bundle, state = build_multitask_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    r = np.random.default_rng(0)
+    batch = bundle.batch_sharding_fn({
+        "videos": r.normal(size=(2, 2, 4, 32, 32, 3)).astype(np.float32),
+        "video_mask": np.ones((2, 2), bool),
+        "input_ids": r.integers(0, 256, (2, 8)).astype(np.int32),
+        "attention_mask": np.ones((2, 8), np.int32),
+        "caption_ids": r.integers(0, 256, (2, 8)).astype(np.int32),
+        "caption_mask": np.ones((2, 8), np.int32),
+        "caption_weights": np.ones((2,), np.float32),
+    })
+    out = multitask_forward(bundle, state.params, batch, jax.random.PRNGKey(0),
+                            deterministic=True)
+    assert 0.0 <= float(out["consistency"]) <= 2.0
+    step = make_multitask_train_step(bundle)
+    state, m = step(state, batch, jax.random.PRNGKey(0), 1.0, 1.0, 1.0)
+    assert np.isfinite(float(m["loss_consistency"]))
