@@ -39,6 +39,11 @@ class ClipConfig(BaseConfig):
     dataset_mean: Optional[List[float]] = None
     dataset_std: Optional[List[float]] = None
     max_text_length: int = 512
+    # length bucketing: tokenize each batch to the smallest bucket that fits
+    # its longest report (the reference always pads to max_text_length; real
+    # reports are much shorter, so this cuts text-tower time ~2-3x at the
+    # cost of one compiled step per bucket). Empty = always max_text_length.
+    text_length_buckets: List[int] = field(default_factory=list)
 
     # ---- model ----
     model_name: str = "mvit"  # mvit | vit (clean 3D-RoPE ViT) | x3d-ish tiny

@@ -14,18 +14,44 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 
+def pick_text_bucket(
+    texts: List[str], tokenizer, max_text_length: int,
+    buckets: Optional[List[int]] = None,
+) -> int:
+    """Smallest configured bucket that fits the batch's longest report (+2
+    special tokens). Static per-bucket shapes: XLA compiles one step per
+    bucket, then every batch reuses a cached program."""
+    if not buckets:
+        return max_text_length
+    if hasattr(tokenizer, "tokenize_ids"):
+        longest = max((len(tokenizer.tokenize_ids(t)) for t in texts), default=0)
+    else:  # HF tokenizer
+        longest = max(
+            (len(tokenizer(t, truncation=True)["input_ids"]) for t in texts),
+            default=0,
+        )
+    need = longest + 2
+    for b in sorted(buckets):
+        if b >= need:
+            return min(b, max_text_length)
+    return max_text_length
+
+
 def collate_clip(
     items: List[Dict[str, Any]],
     tokenizer,
     max_text_length: int = 512,
+    length_buckets: Optional[List[int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Plain CLIP mode: stacked videos + tokenized per-sample report
     (reference :946-969)."""
     videos = np.stack([it["videos"] for it in items])
     mask = np.stack([it["video_mask"] for it in items])
+    texts = [it["text"] for it in items]
     enc = tokenizer(
-        [it["text"] for it in items],
-        max_length=max_text_length,
+        texts,
+        max_length=pick_text_bucket(texts, tokenizer, max_text_length,
+                                    length_buckets),
         padding="max_length",
         truncation=True,
         return_tensors="np",

@@ -209,7 +209,8 @@ class VideoContrastiveLearningRunner:
                    + cfg.siglip_negatives_per_video),
             )
         return collate_clip(
-            items, self.tokenizer, max_text_length=self.config.max_text_length
+            items, self.tokenizer, max_text_length=self.config.max_text_length,
+            length_buckets=self.config.text_length_buckets,
         )
 
     def _make_loader(self, dataset, training: bool):

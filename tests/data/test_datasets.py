@@ -220,3 +220,23 @@ def test_getitem_thread_safety_determinism(manifest):
         parallel = list(pool.map(lambda i: ds2[i]["videos"], range(len(ds2))))
     for a, b in zip(serial, parallel):
         np.testing.assert_array_equal(a, b)
+
+
+def test_text_length_bucketing(manifest):
+    from deepcoro_clip_tpu.data.collate import pick_text_bucket
+
+    tok = HashTokenizer(vocab_size=1000, max_length=64)
+    short = ["a b c", "d e"]
+    assert pick_text_bucket(short, tok, 64, [8, 16, 32]) == 8
+    longer = ["w " * 20]
+    assert pick_text_bucket(longer, tok, 64, [8, 16, 32]) == 32
+    too_long = ["w " * 100]
+    assert pick_text_bucket(too_long, tok, 64, [8, 16, 32]) == 64
+    # no buckets configured -> reference behavior (always max)
+    assert pick_text_bucket(short, tok, 64, []) == 64
+    # collate honors the bucket
+    items = [{"videos": np.zeros((1, 2, 4, 4, 3), np.float32),
+              "video_mask": np.ones((1,), bool), "text": "a b c",
+              "paths": ["x"], "study_id": "s"}]
+    b = collate_clip(items, tok, max_text_length=64, length_buckets=[8, 16])
+    assert b["input_ids"].shape == (1, 8)
