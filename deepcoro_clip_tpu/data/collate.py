@@ -24,13 +24,11 @@ def pick_text_bucket(
     if not buckets:
         return max_text_length
     if hasattr(tokenizer, "tokenize_ids"):
-        longest = max((len(tokenizer.tokenize_ids(t)) for t in texts), default=0)
-    else:  # HF tokenizer
-        longest = max(
-            (len(tokenizer(t, truncation=True)["input_ids"]) for t in texts),
-            default=0,
-        )
-    need = longest + 2
+        # body tokens only: add CLS+SEP
+        need = max((len(tokenizer.tokenize_ids(t)) for t in texts), default=0) + 2
+    else:  # HF tokenizer: one batch call; ids already include specials
+        ids = tokenizer(list(texts), truncation=True, padding=False)["input_ids"]
+        need = max((len(x) for x in ids), default=0)
     for b in sorted(buckets):
         if b >= need:
             return min(b, max_text_length)
@@ -61,7 +59,7 @@ def collate_clip(
         "video_mask": mask,
         "input_ids": np.asarray(enc["input_ids"], np.int32),
         "attention_mask": np.asarray(enc["attention_mask"], np.int32),
-        "texts": [it["text"] for it in items],
+        "texts": texts,
         "paths": [it["paths"] for it in items],
         "study_ids": [it.get("study_id", "") for it in items],
     }

@@ -218,6 +218,14 @@ class VideoEncoder(nn.Module):
         )
         return {"tokens": toks, "video": per_video, "study": study}
 
+    def aggregate(self, per_video, video_mask=None, deterministic: bool = True):
+        """Aggregator applied to externally-supplied per-video embeddings
+        [B, N, D] -> [B, D] (e.g. single-view consistency targets,
+        reference: runners/multitask_runner.py:788-791)."""
+        return self.aggregator(
+            per_video, mask=video_mask, deterministic=deterministic
+        )
+
     def get_tokens(self, x, mode: str = "patch", deterministic: bool = True):
         """mode: 'patch' -> [B, N, L, D]; 'video' -> [B, N, D];
         'study' -> [B, D] (reference get_tokens, models/video_encoder.py:498-522)."""

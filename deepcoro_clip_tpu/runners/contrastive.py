@@ -208,9 +208,13 @@ class VideoContrastiveLearningRunner:
                 * (cfg.siglip_max_positive_per_video
                    + cfg.siglip_negatives_per_video),
             )
+        # dynamic buckets are per-host batch content; multi-host SPMD needs
+        # identical shapes on every host, so bucketing is single-process only
+        buckets = (self.config.text_length_buckets
+                   if self.config.process_count == 1 else [])
         return collate_clip(
             items, self.tokenizer, max_text_length=self.config.max_text_length,
-            length_buckets=self.config.text_length_buckets,
+            length_buckets=buckets,
         )
 
     def _make_loader(self, dataset, training: bool):

@@ -114,8 +114,10 @@ class MultitaskRunner:
 
     def _collate(self, items):
         cfg = self.config
+        buckets = (cfg.text_length_buckets if cfg.process_count == 1 else [])
         batch = collate_clip(items, self.tokenizer,
-                             max_text_length=cfg.max_text_length)
+                             max_text_length=cfg.max_text_length,
+                             length_buckets=buckets)
         cap = self.tokenizer(
             batch["texts"], max_length=cfg.decoder_max_length,
             padding="max_length", truncation=True, return_tensors="np",

@@ -222,26 +222,34 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
     )
 
     # multi<->single-view consistency (reference:
-    # runners/multitask_runner.py:897-913): the aggregated study embedding
-    # should stay close to the masked mean of its per-video embeddings
-    vmask = batch.get("video_mask")
-    per_video = feats["video"].astype(jnp.float32)  # [B, N, D]
-    if vmask is not None:
-        m = vmask.astype(jnp.float32)[..., None]
-        mean_video = (per_video * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
-    else:
-        mean_video = per_video.mean(1)
+    # runners/multitask_runner.py:788-791, 897-913): the multi-view study
+    # embedding should stay close to the AGGREGATOR output of a single view
+    # (both vectors live in aggregator space; only meaningful for
+    # multi_video — the reference gates on it and the term is 0 otherwise)
+    if cfg.multi_video and cfg.consistency_weight > 0 and N > 1:
+        single_study = bundle.video_model.apply(
+            {"params": params["video_encoder"]},
+            feats["video"][:, :1],  # first view (always a real clip)
+            deterministic=deterministic,
+            rngs=rngs,
+            method=bundle.video_model.aggregate,
+        ).astype(jnp.float32)
 
-    def _norm(x):
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        def _norm(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8
+            )
 
-    cos = jnp.sum(_norm(feats["study"].astype(jnp.float32))
-                  * _norm(mean_video), axis=-1)
-    if sample_mask is not None:
-        sm = sample_mask.astype(jnp.float32)
-        consistency = jnp.sum((1.0 - cos) * sm) / jnp.maximum(jnp.sum(sm), 1.0)
+        cos = jnp.sum(_norm(feats["study"].astype(jnp.float32))
+                      * _norm(single_study), axis=-1)
+        if sample_mask is not None:
+            sm = sample_mask.astype(jnp.float32)
+            consistency = (jnp.sum((1.0 - cos) * sm)
+                           / jnp.maximum(jnp.sum(sm), 1.0))
+        else:
+            consistency = jnp.mean(1.0 - cos)
     else:
-        consistency = jnp.mean(1.0 - cos)
+        consistency = jnp.float32(0.0)
 
     return {
         "contrastive": contrastive["loss"],
