@@ -102,3 +102,78 @@ class ClassAwareBatchSampler(ShardedBatchSampler):
 
     def __len__(self) -> int:
         return len(range(self.rank, self.n_batches, self.nprocs))
+
+
+class SeverityBucketBatchSampler(ShardedBatchSampler):
+    """Batch assembly with per-severity-bucket quotas.
+
+    Reference counterpart: utils/siglip/single_head_sampler.py:89-931
+    (SingleHeadRetrievalSampler — exam-severity priors, per-bucket quotas,
+    phase/epoch-aware sampling). Distilled core: each batch draws a fixed
+    quota from every severity bucket (with replacement inside small buckets),
+    and an optional warmup phase concentrates early epochs on the easy
+    (normal/mild) buckets before opening up the full distribution.
+    """
+
+    def __init__(
+        self,
+        severities: Sequence[str],
+        batch_size: int,
+        bucket_quotas: Optional[dict] = None,  # severity -> fraction of batch
+        warmup_epochs: int = 0,
+        seed: int = 42,
+        process_index: int = 0,
+        process_count: int = 1,
+        n_batches: Optional[int] = None,
+    ):
+        severities = [str(s).lower() for s in severities]
+        super().__init__(
+            len(severities), batch_size, shuffle=True, seed=seed,
+            process_index=process_index, process_count=process_count,
+        )
+        self.buckets = {}
+        for i, s in enumerate(severities):
+            self.buckets.setdefault(s, []).append(i)
+        self.quotas = bucket_quotas or {
+            s: 1.0 / len(self.buckets) for s in self.buckets
+        }
+        self.warmup_epochs = warmup_epochs
+        self.n_batches = n_batches or max(1, len(severities) // batch_size)
+        self._easy = {"normal", "minimal", "mild"}
+
+    def _effective_quotas(self) -> dict:
+        if self.epoch >= self.warmup_epochs:
+            return dict(self.quotas)
+        # warmup phase: shift mass toward easy buckets, keep a trickle of hard
+        q = {}
+        for s, frac in self.quotas.items():
+            q[s] = frac * (1.5 if s in self._easy else 0.5)
+        total = sum(q.values()) or 1.0
+        return {s: v / total for s, v in q.items()}
+
+    def _batches(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        quotas = self._effective_quotas()
+        names = [s for s in quotas if self.buckets.get(s)]
+        if not names:
+            return super()._batches()
+        batches = []
+        for _ in range(self.n_batches):
+            batch = []
+            for s in names:
+                n = int(round(self.batch_size * quotas[s]))
+                if n and self.buckets[s]:
+                    batch.extend(
+                        rng.choice(self.buckets[s], n, replace=True)
+                    )
+            # fill/trim to the exact batch size from the global pool
+            while len(batch) < self.batch_size:
+                s = names[int(rng.integers(len(names)))]
+                batch.append(int(rng.choice(self.buckets[s])))
+            batch = np.asarray(batch[: self.batch_size])
+            rng.shuffle(batch)
+            batches.append(batch)
+        return batches
+
+    def __len__(self):
+        return len(range(self.rank, self.n_batches, self.nprocs))

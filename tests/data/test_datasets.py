@@ -240,3 +240,32 @@ def test_text_length_bucketing(manifest):
               "paths": ["x"], "study_id": "s"}]
     b = collate_clip(items, tok, max_text_length=64, length_buckets=[8, 16])
     assert b["input_ids"].shape == (1, 8)
+
+
+def test_severity_bucket_sampler():
+    from deepcoro_clip_tpu.data.sampler import SeverityBucketBatchSampler
+
+    sev = ["normal"] * 50 + ["severe"] * 10 + ["cto"] * 4
+    s = SeverityBucketBatchSampler(
+        sev, batch_size=8,
+        bucket_quotas={"normal": 0.5, "severe": 0.25, "cto": 0.25},
+        seed=0, n_batches=6,
+    )
+    for batch in s:
+        assert len(batch) == 8
+        kinds = [sev[i] for i in batch]
+        assert kinds.count("normal") >= 3
+        assert kinds.count("cto") >= 1  # small bucket sampled w/ replacement
+    # warmup phase shifts toward easy buckets
+    s2 = SeverityBucketBatchSampler(
+        sev, batch_size=8,
+        bucket_quotas={"normal": 0.34, "severe": 0.33, "cto": 0.33},
+        warmup_epochs=2, seed=0, n_batches=10,
+    )
+    s2.set_epoch(0)
+    warm = np.concatenate(list(s2))
+    s2.set_epoch(5)
+    late = np.concatenate(list(s2))
+    warm_normals = np.mean([sev[i] == "normal" for i in warm])
+    late_normals = np.mean([sev[i] == "normal" for i in late])
+    assert warm_normals > late_normals
