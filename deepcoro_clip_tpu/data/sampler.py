@@ -134,9 +134,15 @@ class SeverityBucketBatchSampler(ShardedBatchSampler):
         self.buckets = {}
         for i, s in enumerate(severities):
             self.buckets.setdefault(s, []).append(i)
-        self.quotas = bucket_quotas or {
-            s: 1.0 / len(self.buckets) for s in self.buckets
-        }
+        if bucket_quotas:
+            self.quotas = {str(k).lower(): v for k, v in bucket_quotas.items()}
+            if not set(self.quotas) & set(self.buckets):
+                raise ValueError(
+                    f"bucket_quotas keys {sorted(self.quotas)} match none of "
+                    f"the data's severities {sorted(self.buckets)}"
+                )
+        else:
+            self.quotas = {s: 1.0 / len(self.buckets) for s in self.buckets}
         self.warmup_epochs = warmup_epochs
         self.n_batches = n_batches or max(1, len(severities) // batch_size)
         self._easy = {"normal", "minimal", "mild"}
@@ -157,6 +163,8 @@ class SeverityBucketBatchSampler(ShardedBatchSampler):
         names = [s for s in quotas if self.buckets.get(s)]
         if not names:
             return super()._batches()
+        probs = np.asarray([quotas[s] for s in names], np.float64)
+        probs = probs / probs.sum()
         batches = []
         for _ in range(self.n_batches):
             batch = []
@@ -166,13 +174,14 @@ class SeverityBucketBatchSampler(ShardedBatchSampler):
                     batch.extend(
                         rng.choice(self.buckets[s], n, replace=True)
                     )
-            # fill/trim to the exact batch size from the global pool
+            # fill quota-weighted; shuffle BEFORE trimming so round-off
+            # overflow doesn't always cost the last-listed bucket
             while len(batch) < self.batch_size:
-                s = names[int(rng.integers(len(names)))]
+                s = names[int(rng.choice(len(names), p=probs))]
                 batch.append(int(rng.choice(self.buckets[s])))
-            batch = np.asarray(batch[: self.batch_size])
+            batch = np.asarray(batch)
             rng.shuffle(batch)
-            batches.append(batch)
+            batches.append(batch[: self.batch_size])
         return batches
 
     def __len__(self):

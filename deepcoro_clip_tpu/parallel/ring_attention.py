@@ -22,23 +22,21 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 
 def _ring_body(q, k, v, scale: float, axis_name: str):
     """Per-shard computation: q is this device's query chunk; k/v rotate."""
     n = jax.lax.psum(1, axis_name)
-    B, H, Lq, Dh = q.shape
-
-    # derive the carries from q so they inherit q's varying manual axes
-    # (fresh constants would be unvarying and break the scan carry types)
-    m = jnp.full_like(q[..., :1], -jnp.inf, dtype=jnp.float32)
-    l = jnp.zeros_like(q[..., :1], dtype=jnp.float32)
-    acc = jnp.zeros_like(q, dtype=jnp.float32)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step(carry, _):
-        m, l, acc, k_cur, v_cur = carry
+    def accumulate(carry, k_cur, v_cur):
+        m, l, acc = carry
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k_cur, preferred_element_type=jnp.float32
         ) * scale
@@ -50,12 +48,26 @@ def _ring_body(q, k, v, scale: float, axis_name: str):
             "bhqk,bhkd->bhqd", p.astype(v_cur.dtype), v_cur,
             preferred_element_type=jnp.float32,
         )
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (m_new, l, acc, k_nxt, v_nxt), None
+        return m_new, l, acc
+
+    # derive the carries from q so they inherit q's varying manual axes
+    # (fresh constants would be unvarying and break the scan carry types);
+    # the local chunk is accumulated before the loop, so only n-1 ring
+    # exchanges happen (no discarded final permute)
+    m = jnp.full_like(q[..., :1], -jnp.inf, dtype=jnp.float32)
+    l = jnp.zeros_like(q[..., :1], dtype=jnp.float32)
+    acc = jnp.zeros_like(q, dtype=jnp.float32)
+    m, l, acc = accumulate((m, l, acc), k, v)
+
+    def step(carry, _):
+        m, l, acc, k_cur, v_cur = carry
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        m, l, acc = accumulate((m, l, acc), k_cur, v_cur)
+        return (m, l, acc, k_cur, v_cur), None
 
     (m, l, acc, _, _), _ = jax.lax.scan(
-        step, (m, l, acc, k, v), None, length=n
+        step, (m, l, acc, k, v), None, length=n - 1
     )
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
@@ -74,13 +86,11 @@ def ring_attention(
     ``[B, H, L, Dh]`` sharded the same way. Numerically equivalent to
     ops/attention.py's oracle (online softmax is exact).
     """
-    from jax.experimental.shard_map import shard_map
-
     Dh = q.shape[-1]
     scale_v = float(scale if scale is not None else Dh**-0.5)
     spec = P(None, None, axis, None)
 
-    fn = shard_map(
+    fn = _shard_map(
         functools.partial(_ring_body, scale=scale_v, axis_name=axis),
         mesh=mesh,
         in_specs=(spec, spec, spec),

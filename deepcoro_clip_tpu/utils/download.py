@@ -18,10 +18,14 @@ def download_pubmedbert(
     repo_id: str = "microsoft/BiomedNLP-PubMedBERT-base-uncased-abstract-fulltext",
     token: Optional[str] = None,
     local_only: bool = False,
+    strict: bool = False,
 ) -> Optional[Path]:
     """Snapshot-download PubMedBERT (tokenizer + torch weights). Returns the
-    local path, or None when offline and not cached. Pair with
-    ``utils/hf_import.load_pubmedbert_into`` to initialise the text tower."""
+    local path, or None when the snapshot can't be obtained (best-effort
+    mode). ``strict=True`` re-raises instead, surfacing fixable failures
+    (bad token, full disk, typo'd repo id) rather than silently training from
+    scratch. Pair with ``utils/hf_import.load_pubmedbert_into`` to
+    initialise the text tower."""
     try:
         from huggingface_hub import snapshot_download
 
@@ -31,14 +35,9 @@ def download_pubmedbert(
         )
         return Path(path)
     except Exception as e:
+        if strict:
+            raise
         print(f"[download] PubMedBERT unavailable ({type(e).__name__}: {e}); "
-              "the text tower will train from scratch (hash tokenizer).")
+              "the text tower will train from scratch (hash tokenizer). "
+              "Pass strict=True to surface the underlying error.")
         return None
-
-
-def load_local_torch_checkpoint(path: str | Path):
-    """Load a local torch checkpoint state dict (cpu)."""
-    import torch
-
-    sd = torch.load(str(path), map_location="cpu", weights_only=True)
-    return sd.state_dict() if hasattr(sd, "state_dict") else sd

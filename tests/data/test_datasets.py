@@ -269,3 +269,32 @@ def test_severity_bucket_sampler():
     warm_normals = np.mean([sev[i] == "normal" for i in warm])
     late_normals = np.mean([sev[i] == "normal" for i in late])
     assert warm_normals > late_normals
+
+
+def test_severity_sampler_quota_fidelity():
+    """Review regression: round-off trim must not deterministically starve
+    the last bucket; fill draws must be quota-weighted; case-insensitive
+    quota keys; full mismatch raises."""
+    from deepcoro_clip_tpu.data.sampler import SeverityBucketBatchSampler
+
+    sev = ["normal"] * 40 + ["severe"] * 40 + ["cto"] * 40
+    s = SeverityBucketBatchSampler(
+        sev, batch_size=8,
+        bucket_quotas={"Normal": 0.34, "SEVERE": 0.33, "cto": 0.33},
+        seed=0, n_batches=200,
+    )
+    counts = {"normal": 0, "severe": 0, "cto": 0}
+    n_batches = 0
+    for epoch in range(3):
+        s.set_epoch(epoch)
+        for b in s:
+            n_batches += 1
+            for i in b:
+                counts[sev[i]] += 1
+    total = sum(counts.values())
+    for k, frac in counts.items():
+        assert abs(frac / total - 1 / 3) < 0.03, counts
+    assert n_batches == 3 * len(s)
+
+    with pytest.raises(ValueError):
+        SeverityBucketBatchSampler(sev, 8, bucket_quotas={"bogus": 1.0})
