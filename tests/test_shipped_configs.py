@@ -1,0 +1,81 @@
+"""The shipped config catalog must parse and assemble (guards the five
+north-star YAMLs against config-field drift)."""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepcoro_clip_tpu.configs.parser import parse_config
+from deepcoro_clip_tpu.registry import ConfigRegistry, register_all
+
+register_all()
+
+REPO = Path(__file__).resolve().parents[1]
+CONFIGS = sorted((REPO / "config").rglob("*.yaml"))
+
+TINY = [
+    "--frames", "4", "--resize", "32", "--batch_size", "2",
+    "--vit_dim", "32", "--vit_depth", "1", "--vit_heads", "1",
+    "--embedding_dim", "16", "--num_heads", "2", "--aggregator_depth", "1",
+    "--precision", "fp32", "--use_pallas_attention", "false",
+    "--num_videos", "2", "--epochs", "1",
+]
+TINY_TEXT = [
+    "--text_dim", "32", "--text_depth", "1", "--text_heads", "2",
+    "--text_vocab_size", "512", "--max_text_length", "16",
+]
+
+
+def tiny_args(path: Path) -> list:
+    import yaml
+
+    pipeline = yaml.safe_load(path.read_text()).get("pipeline_project", "")
+    # probing configs have no text tower fields
+    extra = [] if "linear_probing" in pipeline else TINY_TEXT
+    return TINY + extra
+
+
+def test_catalog_exists():
+    assert len(CONFIGS) >= 5
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: p.stem)
+def test_config_parses_and_registry_resolves(path):
+    cfg = parse_config(["--base_config", str(path)] + tiny_args(path))
+    assert ConfigRegistry.contains(cfg.pipeline_project)
+    assert cfg.frames == 4  # overrides land
+
+
+def test_clip_config_builds_bundle(tmp_path):
+    """End-to-end assembly of the flagship YAML at tiny size."""
+    import jax
+
+    from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.train.clip import build_clip_bundle
+
+    cfg = parse_config(
+        ["--base_config", str(REPO / "config/clip/base_config.yaml")]
+        + TINY + TINY_TEXT + ["--multi_video", "false", "--num_videos", "1",
+           "--vit_pool_stages", "[]"]
+    )
+    mesh = make_mesh(MeshSpec(data=2, model=1))
+    bundle, state = build_clip_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    assert int(np.asarray(state.step)) == 0
+
+
+def test_probing_config_builds_bundle():
+    import jax
+
+    from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.train.linear_probe import build_probe_bundle
+
+    cfg = parse_config(
+        ["--base_config",
+         str(REPO / "config/linear_probing/stenosis_config.yaml")] + TINY
+        + ["--vit_pool_stages", "[]", "--attention_hidden", "8"]
+    )
+    mesh = make_mesh(MeshSpec(data=2, model=1))
+    bundle, state = build_probe_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    assert set(bundle.head_names) == set(cfg.head_structure)
