@@ -31,11 +31,19 @@ def l2_normalize(x: jax.Array, eps: float = 1e-8) -> jax.Array:
 
 
 def _ce_with_smoothing(logits: jax.Array, labels: jax.Array, smoothing: float,
-                       row_weights: Optional[jax.Array] = None):
+                       row_weights: Optional[jax.Array] = None,
+                       col_mask: Optional[jax.Array] = None):
+    """CE with label smoothing; ``col_mask`` [C] marks valid columns so the
+    uniform smoothing term never averages over NEG_LOGIT-masked padding
+    (a padded column contributes ~1e28 to -logp.mean otherwise)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if smoothing > 0.0:
-        uniform = -logp.mean(axis=-1)
+        if col_mask is not None:
+            m = col_mask.astype(jnp.float32)[None, :]
+            uniform = -jnp.sum(logp * m, axis=-1) / jnp.maximum(m.sum(), 1.0)
+        else:
+            uniform = -logp.mean(axis=-1)
         nll = (1.0 - smoothing) * nll + smoothing * uniform
     if row_weights is None:
         return nll.mean()
@@ -70,8 +78,10 @@ def clip_loss(
         valid = sample_mask.astype(jnp.float32) > 0
         sim_v = jnp.where(valid[None, :], sim, NEG_LOGIT)
         sim_t = jnp.where(valid[None, :], sim.T, NEG_LOGIT)
-        loss_v = _ce_with_smoothing(sim_v, labels, label_smoothing, valid)
-        loss_t = _ce_with_smoothing(sim_t, labels, label_smoothing, valid)
+        loss_v = _ce_with_smoothing(sim_v, labels, label_smoothing, valid,
+                                    col_mask=valid)
+        loss_t = _ce_with_smoothing(sim_t, labels, label_smoothing, valid,
+                                    col_mask=valid)
     else:
         loss_v = _ce_with_smoothing(sim, labels, label_smoothing)
         loss_t = _ce_with_smoothing(sim.T, labels, label_smoothing)
@@ -108,15 +118,25 @@ def siglip_pairwise_loss(
     return {"loss": loss, "similarity": logits, "temperature": temp}
 
 
-def entropy_regularization(sim: jax.Array, weight: float) -> jax.Array:
+def entropy_regularization(
+    sim: jax.Array,
+    weight: float,
+    min_entropy_threshold: float = 2.0,
+    col_mask: Optional[jax.Array] = None,
+) -> jax.Array:
     """Anti-collapse entropy regularizer over the similarity rows
-    (reference compute_entropy_regularization, utils/loss/contrastive.py:19-72)."""
+    (reference compute_entropy_regularization, utils/loss/contrastive.py:19-72):
+    penalty = weight * relu(threshold - mean_row_entropy), i.e. zero once the
+    mean prediction entropy clears the threshold (2.0 nats default) — it must
+    NOT push logits toward uniform at every step.  ``col_mask`` [M] excludes
+    padded text-bank columns from the softmax."""
     if weight == 0.0:
         return jnp.float32(0.0)
+    if col_mask is not None:
+        sim = jnp.where(col_mask.astype(jnp.float32)[None, :] > 0, sim, NEG_LOGIT)
     p = jax.nn.softmax(sim, axis=-1)
-    ent = -jnp.sum(p * jnp.log(jnp.clip(p, 1e-8)), axis=-1).mean()
-    max_ent = jnp.log(jnp.float32(sim.shape[-1]))
-    return weight * (max_ent - ent)
+    ent = -jnp.sum(p * jnp.log(p + 1e-10), axis=-1).mean()
+    return weight * jax.nn.relu(jnp.float32(min_entropy_threshold) - ent)
 
 
 @LossRegistry.register(
@@ -171,7 +191,9 @@ def siglip_multi_positive_loss(
         w = w * sample_mask.astype(jnp.float32)[:, None]
 
     loss = jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1.0)
-    loss = loss + entropy_regularization(logits, entropy_reg_weight)
+    loss = loss + entropy_regularization(
+        logits, entropy_reg_weight, col_mask=text_valid
+    )
     return {"loss": loss, "similarity": logits, "temperature": temp}
 
 

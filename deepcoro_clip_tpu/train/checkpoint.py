@@ -30,11 +30,23 @@ class CheckpointManager:
     # ------------------------------------------------------------------ #
 
     def _save(self, name: str, state: Any, meta: Dict[str, Any]) -> Path:
+        # Crash-safe replace: write the new snapshot under a temp name, then
+        # swap it in — the previous checkpoint stays restorable until the new
+        # one is fully on disk (a crash mid-save must never leave zero
+        # resumable checkpoints).
         path = (self.dir / name).resolve()
-        if path.exists():
-            shutil.rmtree(path)
-        self._ckpt.save(path, jax.device_get(state))
+        tmp = (self.dir / f"{name}.tmp").resolve()
+        old = (self.dir / f"{name}.old").resolve()
+        for stale in (tmp, old):
+            if stale.exists():
+                shutil.rmtree(stale)
+        self._ckpt.save(tmp, jax.device_get(state))
         self._ckpt.wait_until_finished()
+        if path.exists():
+            path.rename(old)
+        tmp.rename(path)
+        if old.exists():
+            shutil.rmtree(old, ignore_errors=True)
         (self.dir / f"{name}.json").write_text(json.dumps(meta, default=float))
         return path
 

@@ -152,8 +152,10 @@ def build_clip_bundle(
         best_epoch=jnp.int32(-1),
     )
 
-    video_fracs = optim_lib.freeze_fractions(vparams)
-    text_fracs = optim_lib.freeze_fractions(tparams)
+    # Freeze order/extent matches the reference: only the backbone (video) /
+    # BERT body (text) is partially freezable, never proj/aggregator/pools.
+    video_fracs = optim_lib.freeze_fractions(vparams, include=("backbone",))
+    text_fracs = optim_lib.freeze_fractions(tparams, exclude=("proj",))
 
     state_spec = TrainState(
         step=P(), params=param_spec,
@@ -284,8 +286,17 @@ def make_train_step(bundle: ClipBundle):
         # NaN-guard the gradients (reference NaN sentinels, runner :740-756)
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
 
+        # dynamic partial freeze: mask grads BEFORE the optimizer update so
+        # Adam moments don't accumulate for frozen leaves (the reference's
+        # requires_grad=False accumulates nothing), then mask the updates
+        # too so weight decay can't move frozen params.
+        grads["video_encoder"] = optim_lib.apply_freeze_mask(
+            grads["video_encoder"], bundle.video_fracs, video_freeze_ratio
+        )
+        grads["text_encoder"] = optim_lib.apply_freeze_mask(
+            grads["text_encoder"], bundle.text_fracs, text_freeze_ratio
+        )
         updates, opt_state = bundle.tx.update(grads, state.opt_state, state.params)
-        # dynamic partial freeze: zero updates for the frozen prefix
         updates["video_encoder"] = optim_lib.apply_freeze_mask(
             updates["video_encoder"], bundle.video_fracs, video_freeze_ratio
         )
@@ -309,7 +320,9 @@ def make_train_step(bundle: ClipBundle):
             "text_emb_norm": jnp.mean(
                 jnp.linalg.norm(out["text_emb"].astype(jnp.float32), axis=-1)
             ),
-            "lr": bundle.schedule(state.step),
+            "lr": bundle.schedule(
+                optim_lib.optimizer_step_count(opt_state, state.step)
+            ),
         }
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state

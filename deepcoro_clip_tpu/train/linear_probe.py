@@ -186,7 +186,7 @@ def build_probe_bundle(
     bundle = ProbeBundle(
         config=cfg, mesh=mesh, video_model=video_model, mil_model=mil_model,
         tx=tx, schedule=schedule,
-        video_fracs=optim_lib.freeze_fractions(vparams),
+        video_fracs=optim_lib.freeze_fractions(vparams, include=("backbone",)),
         state_sharding=state_sharding, batch_sharding_fn=batch_sharding_fn,
         head_names=tuple(cfg.head_structure),
     )
@@ -232,6 +232,11 @@ def make_probe_train_step(bundle: ProbeBundle):
             state.params, batch, rng
         )
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        # mask grads pre-update (no moment buildup on frozen leaves) and the
+        # updates post-update (no weight decay on frozen leaves)
+        grads["video_encoder"] = optim_lib.apply_freeze_mask(
+            grads["video_encoder"], bundle.video_fracs, encoder_freeze_ratio
+        )
         updates, opt_state = bundle.tx.update(grads, state.opt_state, state.params)
         updates["video_encoder"] = optim_lib.apply_freeze_mask(
             updates["video_encoder"], bundle.video_fracs, encoder_freeze_ratio

@@ -26,28 +26,63 @@ import optax
 PyTree = Any
 
 
-def _natural_key(s: str):
-    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+# Sentinel start-fraction for leaves OUTSIDE the freezable subtree (proj,
+# aggregator, pools): larger than any possible (1 - ratio) threshold, so
+# they are never frozen by a partial ratio — matching the reference, whose
+# _freeze_partial_layers only walks self.model / self.bert
+# (reference: models/video_encoder.py:442-455, models/text_encoder.py:70-84).
+_NEVER_FROZEN = 2.0
+
+# Depth-order patterns: embeddings / patchify first, numbered blocks next,
+# trailing norms last — the true module order of both towers.
+_BLOCK_PAT = re.compile(r"(?:block|layer)(\d+)")
+_EMBED_PAT = re.compile(
+    r"patch_embed|word_embeddings|position_embeddings|token_type|embeddings"
+)
 
 
-def freeze_fractions(params: PyTree) -> PyTree:
-    """Per-leaf cumulative start fraction of total parameter count, in natural
-    module order (patch_embed -> block0..blockN -> norm -> heads).
+def _freeze_order_key(name: str):
+    m = _BLOCK_PAT.search(name)
+    if m:
+        return (1, int(m.group(1)), name)
+    if _EMBED_PAT.search(name):
+        return (0, 0, name)
+    return (2, 0, name)  # final norm etc. — the top of the tower
 
-    A leaf is FROZEN when ``start_frac < ratio`` — i.e. ratio=0.9 freezes the
-    first ~90% of parameters, matching the reference's ratio semantics
-    (reference: models/video_encoder.py:442-491).
+
+def freeze_fractions(
+    params: PyTree,
+    include: Optional[Tuple[str, ...]] = None,
+    exclude: Tuple[str, ...] = (),
+) -> PyTree:
+    """Per-leaf cumulative start fraction of the FREEZABLE parameter count,
+    in true module order (patch_embed/embeddings -> block0..blockN -> norm).
+
+    ``include`` restricts freezing to top-level subtrees (e.g. ``("backbone",)``
+    for the video tower); ``exclude`` drops top-level subtrees (e.g.
+    ``("proj",)`` for the text tower, whose BERT body sits at top level).
+    Leaves outside the freezable set get the ``_NEVER_FROZEN`` sentinel.
+
+    Semantics (matching the reference, models/video_encoder.py:442-455):
+    ``ratio`` is the TRAINABLE-from-the-top fraction; a leaf is FROZEN when
+    ``start_frac < 1 - ratio`` (ratio 0.9 freezes the bottom ~10%).  See
+    ``apply_freeze_mask`` for the ratio==1.0 full-freeze special case.
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    keyed = []
+    named = []
     for path, leaf in flat:
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
-        keyed.append((_natural_key(name), name, leaf))
-    keyed.sort(key=lambda t: t[0])
-    total = sum(int(leaf.size) for _, _, leaf in keyed)
-    fracs: Dict[str, float] = {}
+        top = name.split("/", 1)[0]
+        freezable = (include is None or top in include) and top not in exclude
+        named.append((name, leaf, freezable))
+
+    ordered = sorted(
+        (n for n in named if n[2]), key=lambda t: _freeze_order_key(t[0])
+    )
+    total = sum(int(leaf.size) for _, leaf, _ in ordered)
+    fracs: Dict[str, float] = {name: _NEVER_FROZEN for name, _, _ in named}
     cum = 0
-    for _, name, leaf in keyed:
+    for name, leaf, _ in ordered:
         fracs[name] = cum / max(total, 1)
         cum += int(leaf.size)
 
@@ -59,10 +94,17 @@ def freeze_fractions(params: PyTree) -> PyTree:
 
 
 def apply_freeze_mask(updates: PyTree, fracs: PyTree, ratio) -> PyTree:
-    """Zero updates for leaves with start_frac < ratio (ratio may be traced)."""
+    """Zero updates for frozen leaves (ratio may be a traced scalar).
+
+    Frozen when ``start_frac < 1 - ratio`` (bottom-up partial freeze), or when
+    ``ratio >= 1.0`` (full freeze of the whole tower — the reference's
+    linear-probing convention, projects/linear_probing_project.py:203-206,
+    which overrides even never-frozen heads like proj).
+    """
     r = jnp.float32(ratio)
+    keep = lambda f: ((f >= 1.0 - r) & (r < 1.0))
     return jax.tree_util.tree_map(
-        lambda u, f: u * (f >= r).astype(u.dtype), updates, fracs
+        lambda u, f: u * keep(f).astype(u.dtype), updates, fracs
     )
 
 
@@ -158,6 +200,15 @@ def make_clip_optimizer(
 
 def global_norm(tree: PyTree) -> jax.Array:
     return optax.global_norm(tree)
+
+
+def optimizer_step_count(opt_state, fallback) -> jax.Array:
+    """The schedule-evaluation step: with optax.MultiSteps this is
+    ``gradient_step`` (advances once per accumulation window), otherwise the
+    caller's micro-step counter."""
+    if hasattr(opt_state, "gradient_step"):
+        return opt_state.gradient_step
+    return fallback
 
 
 def layerwise_lr_decay_scales(params: PyTree, decay: float = 0.9,

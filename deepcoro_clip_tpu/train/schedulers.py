@@ -30,7 +30,13 @@ def get_scheduler(
     warm_restart_tmult: int = 2,
     gradient_accumulation_steps: int = 1,
 ) -> optax.Schedule:
-    total = max(1, steps_per_epoch * epochs // max(1, gradient_accumulation_steps))
+    # All schedules are evaluated at the OPTIMIZER-update count (with
+    # optax.MultiSteps that is gradient_step, which only advances once per
+    # accumulation window), so both the horizon and the per-epoch step count
+    # are expressed in updates, not micro-steps.
+    accum = max(1, gradient_accumulation_steps)
+    updates_per_epoch = max(1, steps_per_epoch // accum)
+    total = max(1, updates_per_epoch * epochs)
     warmup = max(1, int(total * num_warmup_percent))
     name = (name or "cosine").lower()
 
@@ -40,7 +46,7 @@ def get_scheduler(
     if name == "step":
         # per-epoch step decay: lr * factor^(epoch // period)
         def sched(step):
-            epoch = jnp.floor_divide(step, steps_per_epoch)
+            epoch = jnp.floor_divide(step, updates_per_epoch)
             return lr * factor ** (epoch // lr_step_period)
 
         return sched

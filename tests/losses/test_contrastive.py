@@ -107,13 +107,58 @@ def test_multi_positive_infonce():
 
 
 def test_entropy_reg_penalizes_peaked_rows():
-    """The regularizer is (max_entropy - entropy): zero for uniform
-    (collapsed) similarity rows, positive for peaked ones (reference
-    compute_entropy_regularization, utils/loss/contrastive.py:19-72)."""
+    """penalty = weight * relu(threshold - mean_entropy): zero once the mean
+    row entropy clears the 2.0-nat threshold, positive for peaked rows
+    (reference compute_entropy_regularization, utils/loss/contrastive.py:19-72)."""
     from deepcoro_clip_tpu.losses.contrastive import entropy_regularization
 
     B = 8
-    uniform = jnp.zeros((B, B))
+    uniform = jnp.zeros((B, B))  # entropy ln(8) = 2.079 > 2.0 threshold
     peaked = 50.0 * jnp.eye(B)
     assert float(entropy_regularization(uniform, 1.0)) == pytest.approx(0.0, abs=1e-5)
     assert float(entropy_regularization(peaked, 1.0)) > 1.0
+
+
+def test_entropy_reg_zero_above_threshold_not_uniform_push():
+    """The penalty must be EXACTLY zero above threshold — it is relu-gated,
+    not a constant (max_entropy - entropy) push toward uniform."""
+    from deepcoro_clip_tpu.losses.contrastive import entropy_regularization
+
+    B = 32  # max entropy ln(32) = 3.46
+    r = np.random.default_rng(0)
+    # mildly non-uniform rows: entropy well above 2.0 but below max
+    sim = jnp.asarray(0.3 * r.normal(size=(B, B)).astype(np.float32))
+    val = float(entropy_regularization(sim, 1.0))
+    assert val == 0.0
+
+
+def test_entropy_reg_ignores_padded_columns():
+    """Padded text-bank columns must not count toward the entropy."""
+    from deepcoro_clip_tpu.losses.contrastive import entropy_regularization
+
+    B, M = 4, 16
+    sim = jnp.zeros((B, M))
+    valid = jnp.zeros((M,)).at[:2].set(1.0)  # only 2 real columns
+    # entropy over 2 uniform columns = ln(2) = 0.69 < 2.0 -> deficit 1.386
+    val = float(entropy_regularization(sim, 1.0, col_mask=valid))
+    assert val == pytest.approx(2.0 - np.log(2.0), abs=1e-4)
+    # without the mask the 16 uniform columns would clear the threshold
+    assert float(entropy_regularization(sim, 1.0)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_label_smoothing_finite_with_padded_rows():
+    """Label smoothing on a padded batch must stay finite: the uniform term
+    averages over VALID columns only, never the NEG_LOGIT padding (round-1
+    ADVICE: a padded val batch produced ~1e28 losses)."""
+    B, D = 6, 16
+    r = np.random.default_rng(0)
+    v = jnp.asarray(r.normal(size=(B, D)).astype(np.float32))
+    t = jnp.asarray(r.normal(size=(B, D)).astype(np.float32))
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 0, 0], np.float32))
+    out = clip_loss(v, t, jnp.log(0.07), label_smoothing=0.1, sample_mask=mask)
+    loss = float(out["loss"])
+    assert np.isfinite(loss)
+    assert loss < 50.0  # sane CE magnitude, not 1e28
+    # and it matches the unpadded loss on the valid sub-batch
+    ref = clip_loss(v[:4], t[:4], jnp.log(0.07), label_smoothing=0.1)
+    assert loss == pytest.approx(float(ref["loss"]), rel=1e-4)
