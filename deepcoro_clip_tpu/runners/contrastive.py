@@ -43,7 +43,6 @@ from deepcoro_clip_tpu.utils.logging_utils import MetricsLogger
 from deepcoro_clip_tpu.utils.retrieval_metrics import (
     compute_alignment_score,
     compute_retrieval_metrics,
-    gt_matrix_from_text_ids,
 )
 
 
@@ -375,12 +374,15 @@ class VideoContrastiveLearningRunner:
             n_real = len(batch["texts"]) if "texts" in batch else len(batch["paths"])
             v_embs.append(np.asarray(out["video_emb"], np.float32)[:n_real])
             if self.multi_positive:
+                # keep the FULL positive set per video — retrieval is scored
+                # against every positive, not just the first (reference
+                # multi-label GT normalization, utils/retrieval_metrics.py:8-62)
                 texts.extend(
-                    [t[0][0] if t else "" for t in
+                    [[p[0] for p in t] if t else [""] for t in
                      self._positives_of_batch(batch)]
                 )
             else:
-                texts.extend(batch["texts"])
+                texts.extend([[t] for t in batch["texts"]])
             paths.extend([p[0] for p in batch["paths"]])
 
         if not v_embs:
@@ -422,23 +424,36 @@ class VideoContrastiveLearningRunner:
 
     def _retrieval_eval(self, v_emb, texts, epoch, split) -> Dict[str, float]:
         """Dedup -> encode -> NxM similarity -> metrics -> artifacts
-        (reference :853-1021)."""
+        (reference :853-1021).
+
+        ``texts``: per-video list of POSITIVE texts (singleton lists in plain
+        CLIP mode). The GT matrix marks every positive, so multi-positive
+        validation scores against the full positive set (reference
+        utils/retrieval_metrics.py:8-62), not the first positive only.
+        """
         cfg = self.config
         uniq: Dict[str, int] = {}
-        text_ids = []
-        for t in texts:
-            if t not in uniq:
-                uniq[t] = len(uniq)
-            text_ids.append(uniq[t])
+        pos_ids: List[List[int]] = []
+        for tl in texts:
+            ids = []
+            for t in tl:
+                if t not in uniq:
+                    uniq[t] = len(uniq)
+                ids.append(uniq[t])
+            pos_ids.append(ids)
         unique_texts = list(uniq)
         if not unique_texts or len(v_emb) == 0:
             return {}
+        # primary positive per video (first) for alignment + artifacts
+        text_ids = [ids[0] for ids in pos_ids]
         t_emb = self._encode_texts(unique_texts)
 
         vn = v_emb / np.maximum(np.linalg.norm(v_emb, axis=1, keepdims=True), 1e-8)
         tn = t_emb / np.maximum(np.linalg.norm(t_emb, axis=1, keepdims=True), 1e-8)
         sim = vn @ tn.T
-        gt = gt_matrix_from_text_ids(text_ids, len(unique_texts))
+        gt = np.zeros((len(v_emb), len(unique_texts)), dtype=bool)
+        for i, ids in enumerate(pos_ids):
+            gt[i, ids] = True
         metrics = compute_retrieval_metrics(
             sim, gt, recall_k=cfg.recall_k, ndcg_k=cfg.ndcg_k
         )
@@ -462,8 +477,9 @@ class VideoContrastiveLearningRunner:
             topk = np.argsort(-sim, axis=1)[:, :k]
             rows = []
             for i in range(len(v_emb)):
+                # best rank over the positive set (multi-label GT)
                 gt_rank = int(
-                    1 + np.sum(sim[i] > sim[i, text_ids[i]])
+                    1 + min(np.sum(sim[i] > sim[i, j]) for j in pos_ids[i])
                 )
                 rows.append({
                     "gt_text": unique_texts[text_ids[i]],

@@ -37,7 +37,22 @@ SEGMENT_ALIASES: Dict[str, List[str]] = {
     "lcx": ["lcx", "circumflex"],
 }
 
-SEVERITY_BY_PERCENT = [
+# Reference severity ladder (classify_severity in the reference
+# stenosis extractor + BIN_TO_SEVERITY in its dataset_creation): <50 mild,
+# 50-69 moderate, 70-89 severe, >=90 critical; ~0 is normal.  70% is the
+# clinical "significant stenosis" line the published AUROC is built on, so
+# these buckets are the behavioral-parity default.
+REFERENCE_SEVERITY_LADDER = [
+    (0, "normal"),
+    (1, "mild"),
+    (50, "moderate"),
+    (70, "severe"),
+    (90, "critical"),
+]
+
+# Optional finer 6-level ladder (this repo's round-1 ladder, kept as an
+# opt-in for tooling that wants a "minimal" band; NOT reference parity).
+FINE_SEVERITY_LADDER = [
     (0, "normal"),
     (1, "minimal"),
     (25, "mild"),
@@ -45,6 +60,8 @@ SEVERITY_BY_PERCENT = [
     (70, "severe"),
     (99, "critical"),
 ]
+
+SEVERITY_BY_PERCENT = REFERENCE_SEVERITY_LADDER
 
 SEVERITY_KEYWORDS = {
     "normal": 0.0,
@@ -70,12 +87,22 @@ class SegmentFinding:
     cto: bool = False
 
 
-def percent_to_severity(pct: float) -> str:
+def percent_to_severity(pct: float, ladder=None) -> str:
+    """Severity bucket for a stenosis percentage (reference buckets by
+    default; pass ``ladder=FINE_SEVERITY_LADDER`` for the 6-level variant)."""
     sev = "normal"
-    for threshold, name in SEVERITY_BY_PERCENT:
+    for threshold, name in (ladder or SEVERITY_BY_PERCENT):
         if pct >= threshold:
             sev = name
     return sev
+
+
+def classify_severity(percentage: float) -> str:
+    """Name-for-name parity with the reference's ``classify_severity``
+    (reference: utils/stenosis_extractor.py): returns 'none' (not 'normal')
+    below 1%."""
+    sev = percent_to_severity(percentage, REFERENCE_SEVERITY_LADDER)
+    return "none" if sev == "normal" else sev
 
 
 class StenosisExtractor:
@@ -127,10 +154,13 @@ class StenosisExtractor:
                 f = findings.get(seg) or SegmentFinding(segment=seg)
                 if pct is not None and (f.percent is None or pct > f.percent):
                     f.percent = pct
+                    # "minimal"/"subtotal"/"occluded" resolve through the
+                    # percent ladder so emitted names stay in the reference
+                    # vocabulary (normal/mild/moderate/severe/critical).
                     f.severity = (
                         severity_kw
-                        if severity_kw in ("normal", "minimal", "mild",
-                                           "moderate", "severe", "critical")
+                        if severity_kw in ("normal", "mild", "moderate",
+                                           "severe", "critical")
                         else percent_to_severity(pct)
                     )
                 f.cto = f.cto or cto

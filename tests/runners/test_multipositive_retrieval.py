@@ -1,0 +1,51 @@
+"""Multi-positive validation retrieval must score against the FULL positive
+set (reference utils/retrieval_metrics.py:8-62), not each video's first
+positive only (round-1 VERDICT weak #5)."""
+
+from pathlib import Path
+
+import numpy as np
+
+from deepcoro_clip_tpu.runners.contrastive import VideoContrastiveLearningRunner
+
+
+class _Cfg:
+    recall_k = [1, 5]
+    ndcg_k = [5]
+    is_ref_device = False
+
+
+def _runner(tmp_path, text_embs):
+    r = object.__new__(VideoContrastiveLearningRunner)
+    r.config = _Cfg()
+    r.output_dir = Path(tmp_path)
+    r._encode_texts = lambda unique_texts, batch_size=64: np.stack(
+        [text_embs[t] for t in unique_texts]
+    )
+    return r
+
+
+def test_second_positive_counts_as_hit(tmp_path):
+    # video0 positives {A, B}; its embedding matches B exactly.
+    # Under first-positive-only scoring Recall@1 would be 0.5; with the full
+    # positive set it must be 1.0.
+    e = lambda *v: np.asarray(v, np.float32)
+    text_embs = {
+        "A": e(1, 0, 0),
+        "B": e(0, 1, 0),
+        "C": e(0, 0, 1),
+    }
+    v_emb = np.stack([text_embs["B"], text_embs["C"]])
+    r = _runner(tmp_path, text_embs)
+    m = r._retrieval_eval(v_emb, [["A", "B"], ["C"]], epoch=0, split="val")
+    assert m["Recall@1"] == 1.0
+    assert m["MedianRank"] == 1.0
+
+
+def test_single_positive_unchanged(tmp_path):
+    e = lambda *v: np.asarray(v, np.float32)
+    text_embs = {"A": e(1, 0, 0), "B": e(0, 1, 0)}
+    v_emb = np.stack([text_embs["A"], text_embs["A"]])  # video1 wrong
+    r = _runner(tmp_path, text_embs)
+    m = r._retrieval_eval(v_emb, [["A"], ["B"]], epoch=0, split="val")
+    assert m["Recall@1"] == 0.5
