@@ -74,6 +74,11 @@ class BaseConfig:
     mesh_data: int = -1  # -1 = all devices / mesh_model
     mesh_model: int = 1
 
+    # H2D wire format (TPU-native): "uint8" ships raw pixels at 1/4 the
+    # bytes and normalizes on-device (fused by XLA); "float32" normalizes on
+    # the host (use for pre-scaled float sources outside [0, 255]).
+    wire_dtype: str = "uint8"
+
     # Filled in by set_device_info_in_place (never from YAML)
     is_ref_device: bool = True
     process_index: int = 0

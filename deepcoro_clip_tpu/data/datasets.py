@@ -59,6 +59,7 @@ class VideoClipDataset:
         seed: int = 42,
         check_files: bool = True,
         extra_columns: Sequence[str] = (),
+        wire_dtype: str = "float32",
     ):
         self.root = Path(root)
         self.path_col = datapoint_loc_label
@@ -74,6 +75,8 @@ class VideoClipDataset:
         self.std = list(std) if std is not None else None
         self.rand_augment = rand_augment and (split == "train")
         self.training = split == "train"
+        # "uint8": raw pixels on the wire, normalized on-device (ops/pixels)
+        self.wire_dtype = wire_dtype
         self.extra_columns = list(extra_columns)
         self._seed = seed
 
@@ -157,11 +160,13 @@ class VideoClipDataset:
                 std=self.std,
                 rand_augment=self.rand_augment,
                 rng=rng if self.training else None,
+                output_dtype=self.wire_dtype,
             )
         except Exception as e:
             # corrupt/missing video -> zero clip (reference :629-635)
             log.warning("failed to load %s: %s", path, e)
-            return np.zeros((self.frames, self.resize, self.resize, 3), np.float32)
+            return np.zeros((self.frames, self.resize, self.resize, 3),
+                            np.dtype(self.wire_dtype))
 
     def _select_clips(self, sample, rng) -> list[int]:
         """Indices into sample['paths']/'row_indices' for the clips used this
@@ -183,7 +188,8 @@ class VideoClipDataset:
         N = self.num_videos if self.multi_video else 1
         sel = self._select_clips(sample, rng)
         paths = [sample["paths"][j] for j in sel]
-        videos = np.zeros((N, self.frames, self.resize, self.resize, 3), np.float32)
+        videos = np.zeros((N, self.frames, self.resize, self.resize, 3),
+                          np.dtype(self.wire_dtype))
         mask = np.zeros((N,), bool)
         for j, p in enumerate(paths):
             videos[j] = self._load_one(p, rng)

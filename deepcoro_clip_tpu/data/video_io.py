@@ -151,14 +151,28 @@ def load_video(
     rand_augment: bool = False,
     rng: Optional[np.random.Generator] = None,
     normalize: bool = True,
+    output_dtype: str = "float32",
 ) -> np.ndarray:
-    """Returns [n_frames, resize, resize, 3] float32 (reference contract)."""
+    """Returns [n_frames, resize, resize, 3] (reference contract).
+
+    ``output_dtype="float32"`` (default): host-normalized float frames, the
+    reference behavior.  ``output_dtype="uint8"``: raw [0, 255] pixels for the
+    uint8 H2D wire — normalization happens on-device (ops/pixels.py), the
+    transfer carries 1/4 the bytes.  uint8 output assumes pixel-valued
+    sources; float sources are clipped to [0, 255] (use float32 wire for
+    pre-scaled data).
+    """
     raw = _load_raw(path)
     idx = sample_frame_indices(raw.shape[0], n_frames, stride, rng)
     frames = raw[idx]
-    frames = _resize_frames(frames, resize).astype(np.float32)
+    frames = _resize_frames(frames, resize)
     if rand_augment and rng is not None:
         frames = augment_frames(frames, rng)
+    if output_dtype == "uint8":
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).round()
+        return np.ascontiguousarray(frames, dtype=np.uint8)
+    frames = frames.astype(np.float32)
     if normalize:
         m = np.asarray(mean if mean is not None else [0.0] * 3, np.float32)
         s = np.asarray(std if std is not None else [1.0] * 3, np.float32)

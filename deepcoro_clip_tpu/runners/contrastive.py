@@ -131,6 +131,7 @@ class VideoContrastiveLearningRunner:
             stride=cfg.stride,
             resize=cfg.resize,
             seed=cfg.seed,
+            wire_dtype=cfg.wire_dtype,
         )
         if cfg.siglip_texts_path:
             from deepcoro_clip_tpu.data.siglip import (
@@ -191,9 +192,15 @@ class VideoContrastiveLearningRunner:
             mean, std = StatsDataset(train).compute()
             mean, std = mean.tolist(), std.tolist()
         self.stats = (list(map(float, mean)), list(map(float, std)))
-        for ds in self.datasets.values():
-            if ds is not None:
-                ds.mean, ds.std = self.stats
+        # The train step normalizes uint8-wire batches on-device with these
+        # stats (ops/pixels.py); the bundle reads them from the config, so
+        # they must be resolved before build_clip_bundle runs.
+        cfg.dataset_mean, cfg.dataset_std = self.stats
+        if cfg.wire_dtype == "float32":
+            # host normalization (reference behavior)
+            for ds in self.datasets.values():
+                if ds is not None:
+                    ds.mean, ds.std = self.stats
 
     def _collate(self, items):
         if self.multi_positive:

@@ -107,6 +107,7 @@ class LinearProbingRunner:
             labels_map=cfg.labels_map,
             view_column=cfg.view_column,
             num_view_classes=cfg.num_view_classes,
+            wire_dtype=cfg.wire_dtype,
         )
         splits = (
             ["train", "val"] if cfg.run_mode == "train" else [cfg.run_mode]
@@ -138,9 +139,12 @@ class LinearProbingRunner:
             mean, std = StatsDataset(train).compute()
             mean, std = mean.tolist(), std.tolist()
         self.stats = (list(map(float, mean)), list(map(float, std)))
-        for ds in self.datasets.values():
-            if ds is not None:
-                ds.mean, ds.std = self.stats
+        # uint8 wire: on-device normalization reads these from the config
+        cfg.dataset_mean, cfg.dataset_std = self.stats
+        if cfg.wire_dtype == "float32":
+            for ds in self.datasets.values():
+                if ds is not None:
+                    ds.mean, ds.std = self.stats
 
     def _make_loader(self, dataset, training):
         if dataset is None:
@@ -325,8 +329,13 @@ class LinearProbingRunner:
         return df
 
     def _mil_inputs(self, params, batch):
+        from deepcoro_clip_tpu.ops import pixels
+
+        videos = pixels.normalize_videos(
+            batch["videos"], *pixels.config_stats(self.config)
+        )
         emb = self.bundle.video_model.apply(
-            {"params": params["video_encoder"]}, batch["videos"],
+            {"params": params["video_encoder"]}, videos,
             deterministic=True,
         )
         cfg = self.config

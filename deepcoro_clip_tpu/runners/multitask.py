@@ -91,6 +91,7 @@ class MultitaskRunner:
             num_videos=cfg.num_videos, groupby_column=cfg.groupby_column,
             shuffle_videos=cfg.shuffle_videos, frames=cfg.frames,
             stride=cfg.stride, resize=cfg.resize, seed=cfg.seed,
+            wire_dtype=cfg.wire_dtype,
         )
         out = {"train": VideoClipDataset(split="train",
                                          rand_augment=cfg.rand_augment, **common)}
@@ -108,9 +109,12 @@ class MultitaskRunner:
             mean, std = StatsDataset(self.datasets["train"]).compute()
             mean, std = mean.tolist(), std.tolist()
         self.stats = (list(map(float, mean)), list(map(float, std)))
-        for ds in self.datasets.values():
-            if ds is not None:
-                ds.mean, ds.std = self.stats
+        # uint8 wire: on-device normalization reads these from the config
+        cfg.dataset_mean, cfg.dataset_std = self.stats
+        if cfg.wire_dtype == "float32":
+            for ds in self.datasets.values():
+                if ds is not None:
+                    ds.mean, ds.std = self.stats
 
     def _collate(self, items):
         cfg = self.config

@@ -23,6 +23,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcoro_clip_tpu.losses import contrastive as closs
+from deepcoro_clip_tpu.ops import pixels
 from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
 from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
@@ -186,9 +187,12 @@ def build_clip_bundle(
 
 
 def _forward_embeddings(bundle: ClipBundle, params, batch, rngs, deterministic):
+    videos = pixels.normalize_videos(
+        batch["videos"], *pixels.config_stats(bundle.config)
+    )
     v_emb = bundle.video_model.apply(
         {"params": params["video_encoder"]},
-        batch["videos"],
+        videos,
         video_mask=batch.get("video_mask"),
         deterministic=deterministic,
         rngs=rngs,

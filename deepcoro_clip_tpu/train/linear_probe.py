@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from deepcoro_clip_tpu.losses.heads import multi_head_loss
 from deepcoro_clip_tpu.models.mil import MultiInstanceLinearProbing
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
+from deepcoro_clip_tpu.ops import pixels
 from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
@@ -195,8 +196,11 @@ def build_probe_bundle(
 
 def forward_heads(bundle: ProbeBundle, params, batch, rngs, deterministic=True):
     cfg = bundle.config
+    videos = pixels.normalize_videos(
+        batch["videos"], *pixels.config_stats(cfg)
+    )
     emb = bundle.video_model.apply(
-        {"params": params["video_encoder"]}, batch["videos"],
+        {"params": params["video_encoder"]}, videos,
         deterministic=deterministic or cfg.video_freeze_ratio >= 1.0,
         rngs=rngs,
     )

@@ -26,6 +26,7 @@ from deepcoro_clip_tpu.models.masked_video_modeling import (
 )
 from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
+from deepcoro_clip_tpu.ops import pixels
 from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
@@ -177,8 +178,11 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
     """All three task losses from one backbone pass."""
     cfg = bundle.config
     rngs = {"dropout": rng} if rng is not None else None
+    videos = pixels.normalize_videos(
+        batch["videos"], *pixels.config_stats(cfg)
+    )
     feats = bundle.video_model.apply(
-        {"params": params["video_encoder"]}, batch["videos"],
+        {"params": params["video_encoder"]}, videos,
         video_mask=batch.get("video_mask"), deterministic=deterministic,
         rngs=rngs, method=bundle.video_model.features,
     )
