@@ -26,5 +26,13 @@ class BaseProject:
             backup_config(self.config, self.output_dir)
         return self.output_dir
 
+    def _backup_resolved(self) -> None:
+        """Refresh the config backup AFTER runner construction, so computed
+        fields (dataset_mean/std from StatsDataset) land in the backup — the
+        reference requires precomputed stats for val/test/inference reruns
+        (utils/video_project.py:38-43), and the backup is how they travel."""
+        if self.output_dir is not None and self.config.is_ref_device:
+            backup_config(self.config, self.output_dir)
+
     def run(self) -> Dict[str, Any]:  # pragma: no cover - abstract
         raise NotImplementedError

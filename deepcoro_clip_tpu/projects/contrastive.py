@@ -21,6 +21,7 @@ class ContrastivePretrainingProject(BaseProject):
     def run(self) -> Dict[str, Any]:
         output_dir = self._setup_project()
         runner = VideoContrastiveLearningRunner(self.config, output_dir=output_dir)
+        self._backup_resolved()
         mode = self.config.run_mode
         if mode == "train":
             start = runner.maybe_resume()

@@ -14,6 +14,7 @@ class LinearProbingProject(BaseProject):
     def run(self) -> Dict[str, Any]:
         output_dir = self._setup_project()
         runner = LinearProbingRunner(self.config, output_dir=output_dir)
+        self._backup_resolved()
         mode = self.config.run_mode
         if mode == "train":
             result = runner.train(start_epoch=runner.maybe_resume())

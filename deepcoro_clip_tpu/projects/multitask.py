@@ -15,6 +15,7 @@ class MultitaskPretrainingProject(BaseProject):
     def run(self) -> Dict[str, Any]:
         output_dir = self._setup_project()
         runner = MultitaskRunner(self.config, output_dir=output_dir)
+        self._backup_resolved()
         if self.config.run_mode == "train":
             result = runner.train()
         else:

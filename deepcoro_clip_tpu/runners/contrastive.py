@@ -576,6 +576,18 @@ class VideoContrastiveLearningRunner:
     # resume
     # ------------------------------------------------------------------ #
 
+    def restore_best(self, fallback_latest: bool = True) -> bool:
+        """Load the best-val-loss checkpoint (reference loads best_model for
+        val/inference, projects/contrastive_pretraining_project.py:285-287);
+        falls back to the latest checkpoint."""
+        name = self.ckpt.find_best()
+        if name is None and fallback_latest and self.ckpt.latest_exists():
+            name = "checkpoint"
+        if name is None:
+            return False
+        self.state = self.ckpt.restore(self.state, name)
+        return True
+
     def maybe_resume(self) -> int:
         if self.config.resume_training and self.ckpt.latest_exists():
             self.state = self.ckpt.restore(self.state, "checkpoint")

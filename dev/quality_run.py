@@ -1,0 +1,359 @@
+"""Flagship-scale retrieval-quality run on the real TPU (VERDICT round-1 #2).
+
+Stages (each resumable; run all by default):
+  corpus  — generate the 224x16 synthetic corpus (~7k clips, ~17 GB, cached)
+  train   — train the flagship recipe through the REAL runner (checkpoints,
+            per-epoch retrieval validation, artifacts)
+  tiers   — difficulty-split evaluation: R@k on 1-finding vs 2-finding
+            validation subsets using the trained checkpoint
+  scaling — lr x batch probes (300 steps each) documenting where the
+            uniform-logits ln(B) plateau appears and that the shipped recipe
+            escapes it
+  report  — write QUALITY.md from the collected JSON artifacts
+
+Usage: python dev/quality_run.py [stage ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+CORPUS = REPO / ".synth_corpus"
+RUN_DIR = REPO / ".quality_run"
+ART = RUN_DIR / "artifacts"
+
+N_TRAIN, N_VAL = 6000, 1024
+SEED = 0
+BATCH = 16
+TEXT_LEN = 128  # synthetic reports are short; honest-throughput bench keeps 512
+EPOCHS = 10
+
+
+def stage_corpus():
+    from deepcoro_clip_tpu.data.synthetic_angio import generate_corpus
+
+    t0 = time.perf_counter()
+    manifest = generate_corpus(
+        CORPUS, n_train=N_TRAIN, n_val=N_VAL, size=224, frames=16,
+        seed=SEED, max_findings=2, paraphrase=True, coarse_pct=True,
+    )
+    print(f"corpus ready: {manifest} ({time.perf_counter() - t0:.0f}s)")
+    return manifest
+
+
+def _base_cfg(**over):
+    cfg = dict(
+        pipeline_project="DeepCORO_clip",
+        run_mode="train",
+        data_filename=str(CORPUS / "data.csv"),
+        output_dir=str(RUN_DIR / "outputs"),
+        epochs=EPOCHS,
+        batch_size=BATCH,
+        frames=16,
+        resize=224,
+        stride=1,
+        num_workers=2,
+        multi_video=False,
+        max_text_length=TEXT_LEN,
+        lr=1e-4,
+        scheduler_name="cosine_with_warmup",
+        loss_name="contrastive",
+        use_wandb=False,
+        recall_k=[1, 5, 10],
+        ndcg_k=[5],
+        early_stopping_patience=5,
+        seed=SEED,
+    )
+    cfg.update(over)
+    return cfg
+
+
+def stage_train():
+    import yaml
+
+    from deepcoro_clip_tpu.flagship import flagship_config
+    from deepcoro_clip_tpu.main import main
+    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    ART.mkdir(parents=True, exist_ok=True)
+    # flagship model dims + corpus data knobs
+    fc = flagship_config()
+    over = _base_cfg(
+        vit_dim=fc.vit_dim, vit_depth=fc.vit_depth, vit_heads=fc.vit_heads,
+        vit_patch=list(fc.vit_patch), vit_pool_stages=list(fc.vit_pool_stages),
+        use_cls_token=fc.use_cls_token, embedding_dim=fc.embedding_dim,
+        num_heads=fc.num_heads, aggregator_depth=fc.aggregator_depth,
+        dropout=fc.dropout, text_dim=fc.text_dim, text_depth=fc.text_depth,
+        text_heads=fc.text_heads, text_vocab_size=fc.text_vocab_size,
+        temperature=fc.temperature, optimizer=fc.optimizer,
+        precision=fc.precision, use_pallas_attention=fc.use_pallas_attention,
+    )
+    cfg_path = RUN_DIR / "train_config.yaml"
+    RUN_DIR.mkdir(parents=True, exist_ok=True)
+    yaml.safe_dump(over, cfg_path.open("w"))
+    t0 = time.perf_counter()
+    result = main(["--base_config", str(cfg_path)])
+    out = {
+        "history": result["history"],
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+        "config": {k: over[k] for k in ("epochs", "batch_size", "lr",
+                                        "max_text_length", "loss_name")},
+    }
+    (ART / "train.json").write_text(json.dumps(out, default=float))
+    print("train done:", out["history"][-1])
+
+
+def stage_tiers():
+    """R@k split by difficulty: 1-finding vs 2-finding val videos."""
+    import pandas as pd
+    import yaml
+
+    from deepcoro_clip_tpu.data.synthetic_angio import sample_findings
+    from deepcoro_clip_tpu.registry import RunnerRegistry, register_all
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    register_all()
+
+    df = pd.read_csv(CORPUS / "data.csv", sep="α", engine="python")
+    val = df[df.Split == "val"].copy()
+    ids = val.StudyInstanceUID.str.replace("SYN", "").astype(int)
+    val["n_findings"] = [len(sample_findings(i, SEED, 2, True)) for i in ids]
+
+    results = {}
+    for tier, sub in (("1-finding", val[val.n_findings == 1]),
+                      ("2-findings", val[val.n_findings == 2])):
+        tier_csv = RUN_DIR / f"val_{tier}.csv"
+        sub.drop(columns=["n_findings"]).to_csv(tier_csv, sep="α", index=False)
+        cfg_path = RUN_DIR / "train_config.yaml"
+        over = yaml.safe_load(cfg_path.open())
+        # resolved stats travel via the run's config backup (val mode
+        # requires precomputed dataset_mean/std)
+        backups = sorted((RUN_DIR / "outputs").rglob("config.yaml"))
+        resolved = yaml.safe_load(backups[-1].open())
+        over.update(dataset_mean=resolved["dataset_mean"],
+                    dataset_std=resolved["dataset_std"])
+        run_out = backups[-1].parent  # the actual training run directory
+        over.update(run_mode="val", data_filename=str(tier_csv),
+                    output_dir=str(run_out))
+        tier_cfg = RUN_DIR / f"cfg_{tier}.yaml"
+        yaml.safe_dump(over, tier_cfg.open("w"))
+        config = parse_config(["--base_config", str(tier_cfg)])
+        runner = RunnerRegistry.get(config.pipeline_project)(
+            config, output_dir=str(run_out))
+        assert runner.restore_best(), "no checkpoint found for tier eval"
+        metrics = runner.validate(epoch=999, split="val")
+        results[tier] = {k: float(v) for k, v in metrics.items()}
+        print(tier, results[tier])
+    (ART / "tiers.json").write_text(json.dumps(results))
+
+
+def stage_scaling():
+    """lr x batch probes: fixed 300 steps on repeated real corpus batches;
+    record the loss trajectory vs the ln(B) plateau.  lr is a RUNTIME
+    hyperparameter (optax.inject_hyperparams) so all lrs at one batch size
+    share one compiled program — recompiles through the tunnel cost ~30 min
+    each at flagship scale."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deepcoro_clip_tpu.data.collate import collate_clip
+    from deepcoro_clip_tpu.data.datasets import VideoClipDataset
+    from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
+    from deepcoro_clip_tpu.flagship import flagship_config
+    from deepcoro_clip_tpu.losses.contrastive import clip_loss
+    from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
+    from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
+    from deepcoro_clip_tpu.ops import pixels
+    from deepcoro_clip_tpu.registry import register_all
+    from deepcoro_clip_tpu.train.state import unbox_with_spec
+    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    register_all()
+    results = {}
+    probes = {16: (1e-4, 3e-4, 1e-3), 32: (1e-4, 1e-3)}
+    for B, lrs in probes.items():
+        ds = VideoClipDataset(
+            str(CORPUS / "data.csv"), split="train", frames=16, resize=224,
+            wire_dtype="uint8", target_label="Report",
+        )
+        cfg = flagship_config(batch_size=B, max_text_length=TEXT_LEN,
+                              dropout=0.0)
+        tok = get_tokenizer(vocab_size=cfg.text_vocab_size,
+                            max_length=TEXT_LEN)
+        batches = []
+        for i in range(8):
+            items = [ds[j] for j in range(i * B, (i + 1) * B)]
+            b = collate_clip(items, tok, max_text_length=TEXT_LEN)
+            batches.append({k: jnp.asarray(v) for k, v in b.items()
+                            if isinstance(v, np.ndarray)})
+
+        # per-channel pixel stats from a subsample (uint8 wire normalizes
+        # on-device with these)
+        sample = np.asarray(batches[0]["videos"][:4], np.float32).reshape(-1, 3)
+        stats_mean = sample.mean(0).tolist()
+        stats_std = (sample.std(0) + 1e-6).tolist()
+
+        video_model = video_encoder_from_config(cfg)
+        text_model = text_encoder_from_config(cfg)
+        tx = optax.inject_hyperparams(optax.adamw)(learning_rate=1e-4)
+
+        def init_state(seed):
+            r = jax.random.PRNGKey(seed)
+            b0 = batches[0]
+            vids = pixels.normalize_videos(b0["videos"], stats_mean, stats_std)
+            vv = video_model.init({"params": r, "dropout": r}, vids,
+                                  video_mask=b0["video_mask"])
+            tv = text_model.init({"params": r, "dropout": r}, b0["input_ids"],
+                                 attention_mask=b0["attention_mask"])
+            params = {
+                "video_encoder": unbox_with_spec(vv["params"])[0],
+                "text_encoder": unbox_with_spec(tv["params"])[0],
+                "log_temp": jnp.log(jnp.float32(cfg.temperature)),
+            }
+            return params, tx.init(params)
+
+        def loss_fn(params, batch, rng):
+            videos = pixels.normalize_videos(batch["videos"], stats_mean,
+                                             stats_std)
+            v = video_model.apply({"params": params["video_encoder"]}, videos,
+                                  video_mask=batch["video_mask"],
+                                  deterministic=False, rngs={"dropout": rng})
+            t = text_model.apply({"params": params["text_encoder"]},
+                                 batch["input_ids"],
+                                 attention_mask=batch["attention_mask"],
+                                 deterministic=False, rngs={"dropout": rng})
+            return clip_loss(jnp.nan_to_num(v), jnp.nan_to_num(t),
+                             params["log_temp"])["loss"]
+
+        @jax.jit
+        def step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        for lr in lrs:
+            params, opt_state = init_state(0)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, jnp.float32)
+            rng = jax.random.PRNGKey(0)
+            losses = []
+            for i in range(300):
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = step(
+                    params, opt_state, batches[i % len(batches)], sub)
+                if i % 10 == 0 or i == 299:
+                    losses.append(round(float(loss), 4))
+            key = f"B{B}_lr{lr:g}"
+            plateau = float(np.log(B))
+            results[key] = {
+                "losses_every10": losses,
+                "ln_B": round(plateau, 4),
+                "final": losses[-1],
+                "escaped_plateau": losses[-1] < 0.8 * plateau,
+            }
+            print(key, "final", losses[-1], "ln(B)", round(plateau, 3),
+                  "escaped:", results[key]["escaped_plateau"], flush=True)
+        (ART / "scaling.json").write_text(json.dumps(results))
+
+
+def stage_report():
+    train = json.loads((ART / "train.json").read_text())
+    tiers = json.loads((ART / "tiers.json").read_text()) if (ART / "tiers.json").exists() else {}
+    scaling = json.loads((ART / "scaling.json").read_text()) if (ART / "scaling.json").exists() else {}
+
+    hist = train["history"]
+    lines = [
+        "# QUALITY — retrieval quality evidence (synthetic-at-scale)",
+        "",
+        "Real angiography data is unavailable in this environment; this is the",
+        "strongest available proxy for the BASELINE retrieval-R@1 target: the",
+        "flagship recipe trained END-TO-END through the real runner on a",
+        f"procedurally generated compositional corpus ({N_TRAIN} train /",
+        f"{N_VAL} val clips, 224x16, 8 segments x 6 severities, <=2 findings",
+        "per video; see `deepcoro_clip_tpu/data/synthetic_angio.py`).",
+        "Validation videos are UNSEEN (fresh backgrounds/phases); retrieval is",
+        "scored against the deduped report bank, multi-positive-correct.",
+        "",
+        f"Run: flagship CoroViT + BERT-base, batch {BATCH}, lr 1e-4,",
+        f"cosine_with_warmup, bf16, text length {TEXT_LEN} (reports are",
+        "short; the throughput bench keeps the honest 512), uint8 H2D wire,",
+        f"{EPOCHS} epochs on one TPU v5e chip. Tokenizer: hash fallback (no",
+        "HF vocab in this environment) — consistent across train/val.",
+        "",
+        "## Training curve (per epoch)",
+        "",
+        "| epoch | train loss | val loss | R@1 | R@5 | R@10 | MedianRank |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for i, h in enumerate(hist):
+        lines.append(
+            f"| {i} | {h.get('loss', float('nan')):.4f} "
+            f"| {h.get('val_loss', float('nan')):.4f} "
+            f"| {h.get('val_Recall@1', float('nan')):.3f} "
+            f"| {h.get('val_Recall@5', float('nan')):.3f} "
+            f"| {h.get('val_Recall@10', float('nan')):.3f} "
+            f"| {h.get('val_MedianRank', float('nan')):.1f} |"
+        )
+    lines += ["", f"Wall time: {train['wall_seconds']} s (includes compile).", ""]
+    if tiers:
+        lines += ["## Difficulty tiers (same checkpoint)", "",
+                  "| tier | R@1 | R@5 | R@10 | MedianRank |", "|---|---|---|---|---|"]
+        for tier, m in tiers.items():
+            lines.append(
+                f"| {tier} | {m.get('Recall@1', float('nan')):.3f} "
+                f"| {m.get('Recall@5', float('nan')):.3f} "
+                f"| {m.get('Recall@10', float('nan')):.3f} "
+                f"| {m.get('MedianRank', float('nan')):.1f} |"
+            )
+        lines.append("")
+    if scaling:
+        lines += [
+            "## lr x batch scaling probes (300 steps, fixed real batches)",
+            "",
+            "The round-1 finding: from-scratch contrastive training pins at the",
+            "uniform-logits plateau (loss = ln(B)) at lr 1e-3. Escape status by",
+            "(batch, lr):",
+            "",
+            "| probe | final loss | ln(B) | escaped plateau |",
+            "|---|---|---|---|",
+        ]
+        for k, v in scaling.items():
+            lines.append(f"| {k} | {v['final']:.4f} | {v['ln_B']:.3f} "
+                         f"| {'yes' if v['escaped_plateau'] else 'NO'} |")
+        lines.append("")
+    lines += [
+        "## Regression guard",
+        "",
+        "`tests/runners/test_quality_regression.py` trains the tiny recipe on",
+        "the same corpus generator (CPU, ~60 s) and asserts unseen-video",
+        "R@1 >= 4x chance and R@5 >= 0.5 — the learnability of the corpus and",
+        "the end-to-end learning path are both pinned in CI.",
+    ]
+    (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
+    print("QUALITY.md written")
+
+
+STAGES = {
+    "corpus": stage_corpus,
+    "train": stage_train,
+    "tiers": stage_tiers,
+    "scaling": stage_scaling,
+    "report": stage_report,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["corpus", "train", "tiers", "scaling", "report"]
+    for n in names:
+        print(f"=== stage {n} ===", flush=True)
+        STAGES[n]()
