@@ -112,6 +112,17 @@ class ClipConfig(BaseConfig):
     siglip_auto_balance: bool = False
     siglip_logit_clamp: float = 30.0
 
+    # ---- LocCa report-generation head (reference:
+    # config/clip/siglip2_config.yaml:62-66) ----
+    locca_enabled: bool = False
+    locca_weight: float = 0.5  # LocCa loss weight relative to the main loss
+    locca_num_layers: int = 4
+    locca_d_model: int = 512  # must match video-encoder output dim
+    locca_num_heads: int = 8
+    locca_max_seq_len: int = 256
+    # weights of the three LocCa tasks inside the combined loss
+    locca_task_weights: Optional[Dict[str, float]] = None
+
     # ---- inference ----
     topk: int = 5
     text_embeddings_path: Optional[str] = None

@@ -118,6 +118,31 @@ class SiglipResources:
         sev = self.meta_by_id.get(text_id, {}).get("severity")
         return edge_weight * self.severity_weights.get(sev or "normal", 1.0)
 
+    _SEVERITY_RANK = {"critical": 0, "cto": 0, "severe": 0,
+                      "moderate": 1, "mild": 2, "normal": 3}
+
+    def build_report_from_positives(
+        self,
+        video_id: str,
+        separator: str = " ",
+        order_by_severity: bool = True,
+    ) -> str:
+        """Concatenated report from a video's positive texts — the LocCa
+        generation target (reference siglip_support.py:815-860: severe
+        findings first, then by segment; 'No findings.' when empty)."""
+        pairs = self.video_to_positives.get(str(video_id), [])
+        if not pairs:
+            return "No findings."
+        entries = []
+        for tid, _ in pairs:
+            meta = self.meta_by_id.get(tid, {})
+            rank = self._SEVERITY_RANK.get(meta.get("severity") or "normal", 3)
+            entries.append((rank, meta.get("segment") or "",
+                            self.text_by_id.get(tid, str(tid))))
+        if order_by_severity:
+            entries.sort(key=lambda e: (e[0], e[1]))
+        return separator.join(e[2] for e in entries)
+
     def video_is_abnormal(self, video_id: str) -> bool:
         for tid, _ in self.video_to_positives.get(str(video_id), []):
             sev = self.meta_by_id.get(tid, {}).get("severity")
@@ -249,4 +274,6 @@ class SiglipVideoDataset(VideoClipDataset):
         )
         out["negatives"] = self.siglip.sample_negatives(vid, self.n_neg, rng=rng)
         out["video_id"] = vid
+        # LocCa generation target (reference siglip_support.py:815-900)
+        out["locca_report"] = self.siglip.build_report_from_positives(vid)
         return out

@@ -203,9 +203,9 @@ class VideoContrastiveLearningRunner:
                     ds.mean, ds.std = self.stats
 
     def _collate(self, items):
+        cfg = self.config
         if self.multi_positive:
-            cfg = self.config
-            return collate_multi_positive(
+            batch = collate_multi_positive(
                 items, self.tokenizer,
                 max_text_length=cfg.max_text_length,
                 # room for positives AND hard negatives (dedup usually leaves
@@ -214,14 +214,25 @@ class VideoContrastiveLearningRunner:
                 * (cfg.siglip_max_positive_per_video
                    + cfg.siglip_negatives_per_video),
             )
-        # dynamic buckets are per-host batch content; multi-host SPMD needs
-        # identical shapes on every host, so bucketing is single-process only
-        buckets = (self.config.text_length_buckets
-                   if self.config.process_count == 1 else [])
-        return collate_clip(
-            items, self.tokenizer, max_text_length=self.config.max_text_length,
-            length_buckets=buckets,
-        )
+        else:
+            # dynamic buckets are per-host batch content; multi-host SPMD
+            # needs identical shapes on every host -> single-process only
+            buckets = (cfg.text_length_buckets
+                       if cfg.process_count == 1 else [])
+            batch = collate_clip(
+                items, self.tokenizer, max_text_length=cfg.max_text_length,
+                length_buckets=buckets,
+            )
+        if cfg.locca_enabled:
+            # LocCa generation targets: reconstructed report (SigLIP mode,
+            # reference siglip_support.py:815-900) or the sample's report
+            from deepcoro_clip_tpu.data.locca import locca_caption_batch
+
+            texts = [it.get("locca_report") or it.get("text", "")
+                     for it in items]
+            batch.update(locca_caption_batch(
+                texts, self.tokenizer, cfg.locca_max_seq_len))
+        return batch
 
     def _make_loader(self, dataset, training: bool):
         if dataset is None:

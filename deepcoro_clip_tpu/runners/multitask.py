@@ -128,6 +128,12 @@ class MultitaskRunner:
         )
         batch["caption_ids"] = np.asarray(cap["input_ids"], np.int32)
         batch["caption_mask"] = np.asarray(cap["attention_mask"], np.int32)
+        if cfg.locca_enabled:
+            from deepcoro_clip_tpu.data.locca import location_token_mask
+
+            batch["location_mask"] = location_token_mask(
+                batch["texts"], self.tokenizer, cfg.decoder_max_length
+            )
         # stenosis-aware per-sample caption weights (reference :854-876)
         batch["caption_weights"] = np.asarray(
             [self.extractor.max_severity_weight(t) for t in batch["texts"]],

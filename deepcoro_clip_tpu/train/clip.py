@@ -60,6 +60,9 @@ class ClipBundle(NamedTuple):
     text_fracs: PyTree
     state_sharding: Any
     batch_sharding_fn: Callable
+    # LocCa report-generation head (reference siglip2_config.yaml:62-66);
+    # None unless config.locca_enabled
+    locca_decoder: Any = None
 
 
 def _sample_batch(config, multi_positive: bool) -> Dict[str, np.ndarray]:
@@ -80,6 +83,11 @@ def _sample_batch(config, multi_positive: bool) -> Dict[str, np.ndarray]:
         batch["positive_weights"] = np.ones((B, M), np.float32)
         batch["input_ids"] = np.zeros((M, config.max_text_length), np.int32)
         batch["attention_mask"] = np.ones((M, config.max_text_length), np.int32)
+    if config.locca_enabled:
+        L = config.locca_max_seq_len
+        batch["caption_ids"] = np.zeros((B, L), np.int32)
+        batch["caption_mask"] = np.ones((B, L), np.int32)
+        batch["location_mask"] = np.zeros((B, L), np.float32)
     return batch
 
 
@@ -123,6 +131,38 @@ def build_clip_bundle(
         "log_temp": P(),
         "logit_bias": P(),
     }
+
+    locca_decoder = None
+    if config.locca_enabled:
+        # lightweight cross-attention decoder over unpooled video tokens
+        # (reference LocCaDecoder, models/locca_decoder.py:223-455)
+        from deepcoro_clip_tpu.models.captioning_decoder import CaptioningDecoder
+
+        locca_decoder = CaptioningDecoder(
+            vocab_size=config.text_vocab_size,
+            dim=config.locca_d_model,
+            depth=config.locca_num_layers,
+            num_heads=config.locca_num_heads,
+            max_length=config.locca_max_seq_len,
+            memory_dim=config.embedding_dim,
+            dropout=config.dropout,
+            dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
+            use_flash=config.use_pallas_attention,
+        )
+        feats = video_model.apply(
+            {"params": vparams}, jnp.asarray(batch["videos"]),
+            video_mask=jnp.asarray(batch["video_mask"]),
+            deterministic=True, method=video_model.features,
+        )
+        B = batch["videos"].shape[0]
+        toks = feats["tokens"].reshape(B, -1, config.embedding_dim)
+        dvars = locca_decoder.init(
+            {"params": rv, "dropout": rd},
+            jnp.asarray(batch["caption_ids"]), toks,
+        )
+        dparams, dspec = unbox_with_spec(dvars["params"])
+        params["locca_decoder"] = dparams
+        param_spec["locca_decoder"] = dspec
 
     schedule = get_scheduler(
         config.scheduler_name,
@@ -182,21 +222,41 @@ def build_clip_bundle(
         tx=tx, schedule=schedule, param_spec=param_spec,
         video_fracs=video_fracs, text_fracs=text_fracs,
         state_sharding=state_sharding, batch_sharding_fn=batch_sharding_fn,
+        locca_decoder=locca_decoder,
     )
     return bundle, state
 
 
 def _forward_embeddings(bundle: ClipBundle, params, batch, rngs, deterministic):
+    """Returns (v_emb, t_emb, tokens) — tokens is None unless the LocCa head
+    needs the unpooled video tokens (one shared backbone pass either way)."""
     videos = pixels.normalize_videos(
         batch["videos"], *pixels.config_stats(bundle.config)
     )
-    v_emb = bundle.video_model.apply(
-        {"params": params["video_encoder"]},
-        videos,
-        video_mask=batch.get("video_mask"),
-        deterministic=deterministic,
-        rngs=rngs,
+    tokens = None
+    want_tokens = (
+        bundle.locca_decoder is not None and "caption_ids" in batch
     )
+    if want_tokens:
+        feats = bundle.video_model.apply(
+            {"params": params["video_encoder"]},
+            videos,
+            video_mask=batch.get("video_mask"),
+            deterministic=deterministic,
+            rngs=rngs,
+            method=bundle.video_model.features,
+        )
+        v_emb = feats["study"]
+        B, N, L, D = feats["tokens"].shape
+        tokens = feats["tokens"].reshape(B, N * L, D)
+    else:
+        v_emb = bundle.video_model.apply(
+            {"params": params["video_encoder"]},
+            videos,
+            video_mask=batch.get("video_mask"),
+            deterministic=deterministic,
+            rngs=rngs,
+        )
     t_emb = bundle.text_model.apply(
         {"params": params["text_encoder"]},
         batch["input_ids"],
@@ -204,13 +264,15 @@ def _forward_embeddings(bundle: ClipBundle, params, batch, rngs, deterministic):
         deterministic=deterministic,
         rngs=rngs,
     )
-    return v_emb, t_emb
+    return v_emb, t_emb, tokens
 
 
 def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
     cfg = bundle.config
     name = cfg.loss_name.lower()
-    v_emb, t_emb = _forward_embeddings(bundle, params, batch, rngs, deterministic)
+    v_emb, t_emb, tokens = _forward_embeddings(
+        bundle, params, batch, rngs, deterministic
+    )
     # NaN sanitization (reference scrubs embeddings,
     # runners/video_constrative_learning_runner.py:1236-1245)
     v_emb = jnp.nan_to_num(v_emb)
@@ -249,6 +311,30 @@ def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
             label_smoothing=cfg.label_smoothing,
             sample_mask=sample_mask,
         )
+    if tokens is not None:
+        # LocCa auxiliary: generate the (reconstructed) report from the
+        # unpooled video tokens, with the location-aware loss decomposition
+        # (reference locca_weight "relative to SigLIP loss",
+        # config/clip/siglip2_config.yaml:63)
+        from deepcoro_clip_tpu.losses.locca import locca_combined_loss
+
+        logits = bundle.locca_decoder.apply(
+            {"params": params["locca_decoder"]},
+            batch["caption_ids"], tokens,
+            attention_mask=batch.get("caption_mask"),
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+        locca = locca_combined_loss(
+            logits, batch["caption_ids"], batch["caption_mask"],
+            location_mask=batch.get("location_mask"),
+            weights=dict(cfg.locca_task_weights)
+            if cfg.locca_task_weights else None,
+            label_smoothing=cfg.label_smoothing,
+            sample_weights=sample_mask,
+        )
+        out["locca_loss"] = locca["total"]
+        out["loss"] = out["loss"] + cfg.locca_weight * locca["total"]
     out["video_emb"] = v_emb
     out["text_emb"] = t_emb
     return out

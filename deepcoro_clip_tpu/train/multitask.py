@@ -18,6 +18,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcoro_clip_tpu.losses.contrastive import clip_loss
+from deepcoro_clip_tpu.losses.locca import locca_combined_loss
 from deepcoro_clip_tpu.losses.multitask import captioning_loss
 from deepcoro_clip_tpu.models.captioning_decoder import CaptioningDecoder
 from deepcoro_clip_tpu.models.masked_video_modeling import (
@@ -210,11 +211,26 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
     cap_weights = batch.get("caption_weights")
     if sample_mask is not None:
         cap_weights = (cap_weights if cap_weights is not None else 1.0) * sample_mask
-    cap_loss = captioning_loss(
-        logits, cap_ids, batch["caption_mask"],
-        label_smoothing=cfg.caption_label_smoothing,
-        sample_weights=cap_weights,
-    )
+    locca_parts = {}
+    if cfg.locca_enabled and "location_mask" in batch:
+        # location-aware decomposition (reference utils/loss/locca_loss.py):
+        # captioning + referring-expression + grounded-captioning
+        locca_parts = locca_combined_loss(
+            logits, cap_ids, batch["caption_mask"],
+            location_mask=batch["location_mask"],
+            weights=dict(cfg.locca_task_weights) if cfg.locca_task_weights
+            else {"captioning": 1.0, "referring": cfg.locca_weight,
+                  "grounded": cfg.locca_weight},
+            label_smoothing=cfg.caption_label_smoothing,
+            sample_weights=cap_weights,
+        )
+        cap_loss = locca_parts.pop("total")
+    else:
+        cap_loss = captioning_loss(
+            logits, cap_ids, batch["caption_mask"],
+            label_smoothing=cfg.caption_label_smoothing,
+            sample_weights=cap_weights,
+        )
 
     clip_toks = feats["tokens"].reshape(B * N, L, D)
     mask_rng = (jax.random.fold_in(rng, 1) if rng is not None
@@ -264,6 +280,7 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
         "video_emb": feats["study"],
         "text_emb": t_emb,
         "caption_logits": logits,
+        **{f"locca_{k}": v for k, v in locca_parts.items()},
     }
 
 
