@@ -6,11 +6,15 @@ Behavioral parity with the reference ``CaptioningDecoder`` / ``LocCaDecoder``
 cross-attention into the video patch tokens, learned positions, tied-input
 token embeddings, greedy / temperature-sampling generation.
 
-TPU-first generation: fixed ``max_length`` lax.scan — each step re-runs the
-(static-shape) decoder on the padded sequence under a causal mask and takes
-the next-token logits. O(L^2) recompute per sequence is irrelevant at report
-lengths (<=128) and keeps XLA shapes fully static; a KV-cache variant is a
-planned optimisation.
+TPU-first generation: two static-shape paths.
+- ``greedy_generate``: each scan step re-runs the full decoder under a causal
+  mask (O(L^2) recompute; simple, shape-static).
+- ``greedy_generate_kv``: incremental decoding with an explicit KV cache
+  (O(L) per step; the reference ``generate()`` is incremental too). The cache
+  is a preallocated [B, H, max_len, Dh] per layer, cross-attention K/V are
+  computed once, and the scan body runs a single-token decoder step as plain
+  functional code over the SAME param tree (parity-tested against the O(L^2)
+  path).
 """
 
 from __future__ import annotations
@@ -132,5 +136,130 @@ def greedy_generate(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     (ids, _, _), _ = jax.lax.scan(
         step, (ids0, finished0, rng), jnp.arange(max_length - 1)
+    )
+    return ids
+
+
+# --------------------------------------------------------------------- #
+# KV-cache incremental decoding
+# --------------------------------------------------------------------- #
+
+
+def _unbox(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.unbox() if hasattr(x, "unbox") else x,
+        tree,
+        is_leaf=lambda x: hasattr(x, "unbox"),
+    )
+
+
+def _ln(p, x):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + 1e-6) * p["scale"] + p["bias"]
+
+
+def _d(p, x):
+    y = x @ p["kernel"]
+    return y + p["bias"] if "bias" in p else y
+
+
+def greedy_generate_kv(
+    decoder: CaptioningDecoder,
+    params,
+    video_tokens,
+    bos_id: int,
+    eos_id: int,
+    max_length: Optional[int] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+):
+    """Incremental greedy/sampled decoding with an explicit KV cache.
+
+    Same contract as ``greedy_generate`` ([B, max_length] int32, BOS first),
+    O(L) work per step instead of O(L^2). Runs the single-token decoder step
+    functionally over the decoder's own param tree in fp32 (generation is
+    eval-only; fp32 keeps it exactly comparable to the full-recompute path).
+    """
+    max_length = max_length or decoder.max_length
+    p = _unbox(params["params"] if "params" in params else params)
+    H, D = decoder.num_heads, decoder.dim
+    Dh = D // H
+    B = video_tokens.shape[0]
+
+    memory = _d(p["memory_proj"], video_tokens.astype(jnp.float32))
+    # cross-attention K/V once per layer
+    cross = []
+    for i in range(decoder.depth):
+        lp = p[f"layer{i}"]["cross_attn"]
+        k = _d(lp["k"], memory).reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)
+        v = _d(lp["v"], memory).reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)
+        cross.append((k, v))
+
+    emb = p["token_emb"]["embedding"]
+    pos = p["pos_emb"]
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+
+    cache_k = jnp.zeros((decoder.depth, B, H, max_length, Dh), jnp.float32)
+    cache_v = jnp.zeros_like(cache_k)
+    ids0 = jnp.full((B, max_length), 0, jnp.int32).at[:, 0].set(bos_id)
+    finished0 = jnp.zeros((B,), bool)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def one_token(x, ck, cv, t):
+        """x: [B, D] embedding of token at position t; returns logits and
+        updated caches."""
+        new_ck, new_cv = [], []
+        for i in range(decoder.depth):
+            lp = p[f"layer{i}"]
+            h = _ln(lp["norm1"], x)
+            qkv = _d(lp["self_attn"]["qkv"], h)  # [B, 3D]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, H, 1, Dh)
+            k = k.reshape(B, H, 1, Dh)
+            v = v.reshape(B, H, 1, Dh)
+            ck_i = jax.lax.dynamic_update_slice(ck[i], k, (0, 0, t, 0))
+            cv_i = jax.lax.dynamic_update_slice(cv[i], v, (0, 0, t, 0))
+            att = jnp.einsum("bhod,bhld->bhl", q, ck_i) * scale
+            att = jnp.where(jnp.arange(max_length)[None, None, :] <= t,
+                            att, -1e30)
+            w = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bhl,bhld->bhd", w, cv_i).reshape(B, D)
+            x = x + _d(lp["self_attn"]["proj"], o)
+
+            h = _ln(lp["norm2"], x)
+            q = _d(lp["cross_attn"]["q"], h).reshape(B, H, 1, Dh)
+            kx, vx = cross[i]
+            att = jnp.einsum("bhod,bhld->bhl", q, kx) * scale
+            w = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bhl,bhld->bhd", w, vx).reshape(B, D)
+            x = x + _d(lp["cross_attn"]["proj"], o)
+
+            h = _ln(lp["norm3"], x)
+            m = jax.nn.gelu(_d(lp["mlp"]["fc1"], h))
+            x = x + _d(lp["mlp"]["fc2"], m)
+            new_ck.append(ck_i)
+            new_cv.append(cv_i)
+        x = _ln(p["norm"], x)
+        logits = _d(p["lm_head"], x)  # [B, V]
+        return logits, jnp.stack(new_ck), jnp.stack(new_cv)
+
+    def step(carry, t):
+        ids, finished, ck, cv, rng_k = carry
+        tok = emb[ids[:, t]] + pos[t]
+        logits, ck, cv = one_token(tok.astype(jnp.float32), ck, cv, t)
+        if temperature > 0.0:
+            rng_k, sub = jax.random.split(rng_k)
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(finished, 0, nxt).astype(jnp.int32)
+        ids = ids.at[:, t + 1].set(nxt)
+        finished = finished | (nxt == eos_id)
+        return (ids, finished, ck, cv, rng_k), None
+
+    (ids, _, _, _, _), _ = jax.lax.scan(
+        step, (ids0, finished0, cache_k, cache_v, rng),
+        jnp.arange(max_length - 1),
     )
     return ids

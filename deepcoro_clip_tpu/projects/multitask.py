@@ -17,7 +17,7 @@ class MultitaskPretrainingProject(BaseProject):
         runner = MultitaskRunner(self.config, output_dir=output_dir)
         self._backup_resolved()
         if self.config.run_mode == "train":
-            result = runner.train()
+            result = runner.train(start_epoch=runner.maybe_resume())
         else:
             result = runner.validate()
         runner.logger.finish()

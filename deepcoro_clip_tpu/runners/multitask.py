@@ -21,9 +21,11 @@ from deepcoro_clip_tpu.data.loader import PrefetchLoader
 from deepcoro_clip_tpu.data.sampler import ShardedBatchSampler
 from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
 from deepcoro_clip_tpu.losses.multitask import LossWeightScheduler
-from deepcoro_clip_tpu.models.captioning_decoder import greedy_generate
+from deepcoro_clip_tpu.models.captioning_decoder import greedy_generate_kv
 from deepcoro_clip_tpu.parallel.mesh import MeshSpec, make_mesh
 from deepcoro_clip_tpu.registry import RunnerRegistry
+from deepcoro_clip_tpu.runners.contrastive import NonFiniteLossError
+from deepcoro_clip_tpu.train.run_schedules import freeze_ratio_at, temperature_at
 from deepcoro_clip_tpu.train import multitask as mt_train
 from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
 from deepcoro_clip_tpu.utils.caption_metrics import captioning_metrics
@@ -78,6 +80,7 @@ class MultitaskRunner:
         self.best_val_loss = math.inf
         self.best_epoch = -1
         self.global_step = 0
+        self.start_epoch = 0
 
     # ------------------------------------------------------------------ #
 
@@ -155,17 +158,40 @@ class MultitaskRunner:
 
     # ------------------------------------------------------------------ #
 
+    def maybe_resume(self) -> int:
+        """Resume from the latest checkpoint (reference resume path,
+        projects/contrastive_pretraining_project.py:296-331)."""
+        if self.config.resume_training and self.ckpt.latest_exists():
+            self.state = self.ckpt.restore(self.state, "checkpoint")
+            meta = self.ckpt.load_meta("checkpoint") or {}
+            self.best_val_loss = float(meta.get("best_val_loss", math.inf))
+            self.best_epoch = int(meta.get("best_epoch", -1))
+            self.global_step = int(meta.get("global_step", 0))
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+        return self.start_epoch
+
     def train(self, start_epoch: int = 0, end_epoch: Optional[int] = None):
         cfg = self.config
         end_epoch = end_epoch or cfg.epochs
+        patience_left = cfg.early_stopping_patience or math.inf
         history = []
         rng = jax.random.PRNGKey(cfg.seed)
         for epoch in range(start_epoch, end_epoch):
+            # epoch-level schedules (reference multitask loop mirrors the
+            # contrastive runner's, runners/multitask_runner.py)
+            vfr = freeze_ratio_at(epoch, cfg.epochs, cfg.video_freeze_ratio,
+                                  cfg.video_freeze_schedule)
+            tfr = freeze_ratio_at(epoch, cfg.epochs, cfg.text_freeze_ratio,
+                                  cfg.text_freeze_schedule)
+            temp = temperature_at(
+                epoch, cfg.epochs, cfg.temp_schedule,
+                cfg.temperature, cfg.temp_start, cfg.temp_end,
+            )
             loader = self.loaders["train"]
             loader.set_epoch(epoch)
             agg: Dict[str, float] = {}
             n = 0
-            for batch in loader:
+            for i, batch in enumerate(loader):
                 w = self.weight_sched.at(self.global_step)
                 db = self.bundle.batch_sharding_fn(
                     {k: v for k, v in batch.items()
@@ -175,9 +201,19 @@ class MultitaskRunner:
                 self.state, metrics = self.train_step(
                     self.state, db, sub,
                     w.get("contrastive", 1.0), w.get("captioning", 1.0),
-                    w.get("mvm", 1.0),
+                    w.get("mvm", 1.0), vfr, tfr, temp,
                 )
                 self.global_step += 1
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    # NaN save-and-raise (reference :478-492)
+                    if cfg.is_ref_device:
+                        self.ckpt.save_latest(
+                            self.state, {"epoch": epoch, "nan_loss_at_step": i}
+                        )
+                    raise NonFiniteLossError(
+                        f"non-finite loss {loss} at epoch {epoch} step {i}"
+                    )
                 for k, v in metrics.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
                 n += 1
@@ -193,18 +229,38 @@ class MultitaskRunner:
             history.append({"epoch": epoch, **train_metrics,
                             **{f"val_{k}": v for k, v in val_metrics.items()}})
 
+            vl = val_metrics.get("loss", train_metrics.get("loss"))
+            improved = vl is not None and vl < self.best_val_loss
+            if improved:
+                self.best_val_loss = float(vl)
+                self.best_epoch = epoch
+                patience_left = cfg.early_stopping_patience or math.inf
+            else:
+                patience_left -= 1
             if cfg.is_ref_device:
-                meta = {"epoch": epoch, **train_metrics}
+                meta = {"epoch": epoch, "best_val_loss": self.best_val_loss,
+                        "best_epoch": self.best_epoch,
+                        "global_step": self.global_step, **train_metrics}
                 self.ckpt.save_latest(self.state, meta)
-                vl = val_metrics.get("loss", train_metrics.get("loss"))
-                if vl is not None and vl < self.best_val_loss:
-                    self.best_val_loss = float(vl)
-                    self.best_epoch = epoch
+                if improved:
                     self.ckpt.save_best(self.state, epoch, meta)
+            if patience_left <= 0:
+                break
         return {"history": history, "best_epoch": self.best_epoch,
                 "best_val_loss": self.best_val_loss}
 
     # ------------------------------------------------------------------ #
+
+    def _decode_ids(self, ids) -> str:
+        """ids -> text via the tokenizer's decode when it has one (WordPiece/
+        HF); deterministic id-string fallback for the hash tokenizer."""
+        ids = [int(t) for t in np.asarray(ids) if int(t) > 0]
+        if hasattr(self.tokenizer, "decode"):
+            try:
+                return self.tokenizer.decode(ids, skip_special_tokens=True)
+            except TypeError:  # pragma: no cover - exotic HF signatures
+                return self.tokenizer.decode(ids)
+        return " ".join(map(str, ids))
 
     def validate(self, epoch: int = 0) -> Dict[str, float]:
         cfg = self.config
@@ -215,6 +271,7 @@ class MultitaskRunner:
         gen_texts: List[str] = []
         ref_texts: List[str] = []
         fwd = self._val_fwd
+        gen_len = min(32, cfg.decoder_max_length)
         for batch in loader:
             n_real = len(batch["texts"])
             db = self.bundle.batch_sharding_fn(
@@ -225,29 +282,41 @@ class MultitaskRunner:
                 float(out["contrastive"]) + float(out["captioning"])
                 + float(out["mvm"])
             )
-            # greedy captions on the first val batch only (costly)
-            if not gen_texts:
-                feats = self.bundle.video_model.apply(
-                    {"params": self.state.params["video_encoder"]},
-                    db["videos"], deterministic=True,
-                    method=self.bundle.video_model.features,
-                )
-                B, N, L, D = feats["tokens"].shape
-                toks = feats["tokens"].reshape(B, N * L, D)
-                from deepcoro_clip_tpu.data.tokenizer import CLS_ID, SEP_ID
+            # greedy captions over the FULL validation split (reference
+            # computes BLEU/ROUGE on all val captions,
+            # runners/multitask_runner.py:1356-1503), KV-cache decoding
+            from deepcoro_clip_tpu.ops import pixels
 
-                ids = greedy_generate(
-                    self.bundle.decoder,
-                    {"params": self.state.params["decoder"]},
-                    toks, bos_id=CLS_ID, eos_id=SEP_ID,
-                    max_length=min(16, cfg.decoder_max_length),
-                )
-                for i in range(n_real):
-                    toks_i = [int(t) for t in np.asarray(ids[i]) if t > 0]
-                    gen_texts.append(" ".join(map(str, toks_i)))
-                    ref_ids = [int(t) for t in batch["caption_ids"][i] if t > 0]
-                    ref_texts.append(" ".join(map(str, ref_ids)))
+            vids = pixels.normalize_videos(
+                db["videos"], *pixels.config_stats(cfg)
+            )
+            feats = self.bundle.video_model.apply(
+                {"params": self.state.params["video_encoder"]},
+                vids, deterministic=True,
+                method=self.bundle.video_model.features,
+            )
+            B, N, L, D = feats["tokens"].shape
+            toks = feats["tokens"].reshape(B, N * L, D)
+            from deepcoro_clip_tpu.data.tokenizer import CLS_ID, SEP_ID
+
+            ids = greedy_generate_kv(
+                self.bundle.decoder,
+                {"params": self.state.params["decoder"]},
+                toks, bos_id=CLS_ID, eos_id=SEP_ID,
+                max_length=gen_len,
+            )
+            for i in range(n_real):
+                gen_texts.append(self._decode_ids(ids[i]))
+                ref_texts.append(self._decode_ids(batch["caption_ids"][i]))
         metrics = {"loss": float(np.mean(losses)) if losses else 0.0}
         if gen_texts:
             metrics.update(captioning_metrics(gen_texts, ref_texts))
+            if cfg.is_ref_device:
+                import pandas as pd
+
+                art = self.output_dir / "val"
+                art.mkdir(parents=True, exist_ok=True)
+                pd.DataFrame({"generated": gen_texts,
+                              "reference": ref_texts}).to_csv(
+                    art / f"captions_epoch_{epoch}.csv", index=False)
         return metrics

@@ -47,6 +47,10 @@ class MultitaskBundle(NamedTuple):
     schedule: Callable
     state_sharding: Any
     batch_sharding_fn: Callable
+    # freeze-order fractions for dynamic partial freezing (reference
+    # multitask freeze schedules, runners/multitask_runner.py)
+    video_fracs: PyTree = None
+    text_fracs: PyTree = None
 
 
 def build_multitask_bundle(cfg, mesh: Mesh, rng: jax.Array,
@@ -170,6 +174,8 @@ def build_multitask_bundle(cfg, mesh: Mesh, rng: jax.Array,
         config=cfg, mesh=mesh, video_model=video_model, text_model=text_model,
         decoder=decoder, mvm=mvm, tx=tx, schedule=schedule,
         state_sharding=state_sharding, batch_sharding_fn=batch_sharding_fn,
+        video_fracs=optim_lib.freeze_fractions(vparams, include=("backbone",)),
+        text_fracs=optim_lib.freeze_fractions(tparams, exclude=("proj",)),
     )
     return bundle, state
 
@@ -287,19 +293,43 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
 def make_multitask_train_step(bundle: MultitaskBundle):
     cfg = bundle.config
 
-    def loss_fn(params, batch, rng, w_con, w_cap, w_mvm):
-        out = multitask_forward(bundle, params, batch, rng, deterministic=False)
+    def loss_fn(params, batch, rng, w_con, w_cap, w_mvm, temp_override):
+        use_sched = temp_override > 0
+        p = dict(params)
+        p["log_temp"] = jnp.where(
+            use_sched, jnp.log(jnp.maximum(temp_override, 1e-6)),
+            params["log_temp"],
+        )
+        out = multitask_forward(bundle, p, batch, rng, deterministic=False)
         total = (w_con * out["contrastive"] + w_cap * out["captioning"]
                  + w_mvm * out["mvm"]
                  + cfg.consistency_weight * out["consistency"])
         return total, out
 
-    def step(state: TrainState, batch, rng, w_con, w_cap, w_mvm):
+    def step(state: TrainState, batch, rng, w_con, w_cap, w_mvm,
+             video_freeze_ratio, text_freeze_ratio, temp_override):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, w_con, w_cap, w_mvm
+            state.params, batch, rng, w_con, w_cap, w_mvm, temp_override
         )
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        # dynamic partial freeze: grads masked pre-update (no moment buildup),
+        # updates masked post-update (no weight decay on frozen leaves)
+        grads["video_encoder"] = optim_lib.apply_freeze_mask(
+            grads["video_encoder"], bundle.video_fracs, video_freeze_ratio
+        )
+        grads["text_encoder"] = optim_lib.apply_freeze_mask(
+            grads["text_encoder"], bundle.text_fracs, text_freeze_ratio
+        )
         updates, opt_state = bundle.tx.update(grads, state.opt_state, state.params)
+        updates["video_encoder"] = optim_lib.apply_freeze_mask(
+            updates["video_encoder"], bundle.video_fracs, video_freeze_ratio
+        )
+        updates["text_encoder"] = optim_lib.apply_freeze_mask(
+            updates["text_encoder"], bundle.text_fracs, text_freeze_ratio
+        )
+        updates["log_temp"] = jnp.where(
+            temp_override > 0, 0.0, updates["log_temp"]
+        )
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
@@ -308,14 +338,16 @@ def make_multitask_train_step(bundle: MultitaskBundle):
             "loss_mvm": out["mvm"],
             "loss_consistency": out["consistency"],
             "temperature": out["temperature"],
-            "lr": bundle.schedule(state.step),
+            "lr": bundle.schedule(
+                optim_lib.optimizer_step_count(opt_state, state.step)
+            ),
         }
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 
     return jax.jit(
         step,
-        in_shardings=(bundle.state_sharding, None, None, None, None, None),
+        in_shardings=(bundle.state_sharding,) + (None,) * 8,
         out_shardings=(bundle.state_sharding, None),
         donate_argnums=(0,),
     )

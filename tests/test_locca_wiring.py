@@ -83,7 +83,7 @@ def test_multitask_locca_batch_trains():
     db = bundle.batch_sharding_fn(batch)
     losses = []
     for i in range(6):
-        state, m = step(state, db, jax.random.PRNGKey(i), 1.0, 1.0, 1.0)
+        state, m = step(state, db, jax.random.PRNGKey(i), 1.0, 1.0, 1.0, 0.0, 0.0, -1.0)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
