@@ -105,6 +105,11 @@ class ClipConfig(BaseConfig):
     siglip_positive_loss_weight: float = 1.0
     siglip_negative_loss_weight: float = 1.0
     siglip_use_class_aware_sampler: bool = False
+    # contradiction weighting (reference single_head_sampler.py:138-158):
+    # NORMAL texts for segments with >= min-severity positives are boosted
+    # as hard negatives
+    siglip_contradiction_boost: float = 0.0
+    siglip_contradiction_min_severity: str = "moderate"
     siglip_abnormal_ratio: float = 0.5
     siglip_use_weighted_loss: bool = False
     siglip_bias_init: float = -10.0

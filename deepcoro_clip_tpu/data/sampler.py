@@ -120,6 +120,7 @@ class SeverityBucketBatchSampler(ShardedBatchSampler):
         severities: Sequence[str],
         batch_size: int,
         bucket_quotas: Optional[dict] = None,  # severity -> fraction of batch
+        exam_priors: Optional[dict] = None,  # severity -> prior multiplier
         warmup_epochs: int = 0,
         seed: int = 42,
         process_index: int = 0,
@@ -143,17 +144,23 @@ class SeverityBucketBatchSampler(ShardedBatchSampler):
                 )
         else:
             self.quotas = {s: 1.0 / len(self.buckets) for s in self.buckets}
+        # exam-severity priors (reference single_head_sampler exam_severity
+        # prior-weighted assembly): multiply quotas, renormalized below
+        self.exam_priors = {str(k).lower(): float(v)
+                            for k, v in (exam_priors or {}).items()}
         self.warmup_epochs = warmup_epochs
         self.n_batches = n_batches or max(1, len(severities) // batch_size)
         self._easy = {"normal", "minimal", "mild"}
 
     def _effective_quotas(self) -> dict:
-        if self.epoch >= self.warmup_epochs:
-            return dict(self.quotas)
-        # warmup phase: shift mass toward easy buckets, keep a trickle of hard
-        q = {}
-        for s, frac in self.quotas.items():
-            q[s] = frac * (1.5 if s in self._easy else 0.5)
+        q = dict(self.quotas)
+        if self.exam_priors:
+            q = {s: v * self.exam_priors.get(s, 1.0) for s, v in q.items()}
+        if self.epoch < self.warmup_epochs:
+            # warmup phase: shift mass toward easy buckets, keep a trickle
+            # of hard
+            q = {s: v * (1.5 if s in self._easy else 0.5)
+                 for s, v in q.items()}
         total = sum(q.values()) or 1.0
         return {s: v / total for s, v in q.items()}
 

@@ -80,7 +80,11 @@ class SiglipResources:
             segment = self._norm(row.get("segment"))
             severity = self._norm(row.get("disease_severity"))
             self.meta_by_id[tid] = {
-                "tree": tree, "segment": segment, "severity": severity
+                "tree": tree, "segment": segment, "severity": severity,
+                # optional specificity columns (reference TextMetadata)
+                "bin": self._norm(row.get("bin")),
+                "category": self._norm(row.get("category")),
+                "stent": self._norm(row.get("stent")),
             }
             self.all_text_ids.append(tid)
             if segment:
@@ -121,6 +125,114 @@ class SiglipResources:
     _SEVERITY_RANK = {"critical": 0, "cto": 0, "severe": 0,
                       "moderate": 1, "mild": 2, "normal": 3}
 
+    # ------------------------------------------------------------------ #
+    # positive-pair filtering (reference filter_positive_pairs,
+    # dataloaders/siglip_support.py:510-556)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _severity_label(meta: Dict) -> str:
+        """Normalized severity label with bin/category fallbacks
+        (reference _severity_label, siglip_support.py:558-580)."""
+        sev = (meta.get("severity") or "").strip().lower()
+        if sev in {"critical", "cto"}:
+            return "severe"
+        if sev in {"normal", "mild", "moderate", "severe"}:
+            return sev
+        b = (meta.get("bin") or "").strip().lower()
+        if b in {"0", "<30"}:
+            return "normal"
+        if b == "30-49":
+            return "mild"
+        if b == "50-69":
+            return "moderate"
+        if b in {"70-89", ">=90", "100", "cto"}:
+            return "severe"
+        cat = (meta.get("category") or "").lower()
+        if cat == "normal":
+            return "normal"
+        if cat in {"stenosis", "in_stent", "medina", "thrombus",
+                   "calcification", "cto"}:
+            return "severe"
+        return "unknown"
+
+    @staticmethod
+    def _severity_order(label: str) -> int:
+        """Higher = more severe (reference _severity_rank)."""
+        return {"normal": 0, "mild": 1, "moderate": 2, "severe": 3}.get(
+            (label or "").lower(), -1
+        )
+
+    @staticmethod
+    def _specificity_score(meta: Dict) -> int:
+        """More anatomy/finding detail = higher (reference
+        _specificity_score, siglip_support.py:631-641)."""
+        score = 0
+        if meta.get("segment"):
+            score += 3
+        if meta.get("bin"):
+            score += 2
+        if (meta.get("category") or "").lower() not in ("", "normal"):
+            score += 1
+        if (meta.get("stent") or "").lower() not in ("", "n", "no"):
+            score += 1
+        return score
+
+    def filter_positive_pairs(
+        self,
+        pairs: List[Tuple[str, float]],
+        tree_hint: Optional[str] = None,
+        max_segments: Optional[int] = None,
+    ) -> List[Tuple[str, float]]:
+        """Prune contradictory or overly generic positives for a video:
+        drop off-tree texts, keep ONE text per (tree, segment) — the most
+        severe then most specific — prefer segmented texts when everything
+        is non-diseased, and cap at ``max_segments`` by (severity,
+        specificity, weight). Reference siglip_support.py:510-556."""
+        if not pairs:
+            return []
+        tree_hint = self._norm(tree_hint)
+        items = []
+        for tid, w in pairs:
+            meta = self.meta_by_id.get(tid)
+            if meta is None:
+                continue
+            if tree_hint and meta.get("tree") and meta["tree"] != tree_hint:
+                continue
+            items.append((tid, meta, float(w)))
+        if not items:
+            return []
+
+        def rank(i):
+            tid, meta, w = items[i]
+            return (self._severity_order(self._severity_label(meta)),
+                    self._specificity_score(meta), -i)
+
+        groups: Dict[Tuple[str, str], List[int]] = {}
+        for i, (tid, meta, _) in enumerate(items):
+            key = (meta.get("tree") or "", meta.get("segment") or "")
+            groups.setdefault(key, []).append(i)
+        keep = {max(idxs, key=rank) for idxs in groups.values()}
+
+        labels = [self._severity_label(m) for _, m, _ in items]
+        if all(self._severity_order(l) <= 0 for l in labels):
+            segmented = {i for i in keep if items[i][1].get("segment")}
+            if segmented:
+                keep = segmented
+
+        kept = [items[i] for i in sorted(keep)]
+        if max_segments and max_segments > 0 and len(kept) > max_segments:
+            kept = sorted(
+                kept,
+                key=lambda it: (
+                    self._severity_order(self._severity_label(it[1])),
+                    self._specificity_score(it[1]),
+                    it[2],
+                ),
+                reverse=True,
+            )[:max_segments]
+        return [(tid, w) for tid, _, w in kept]
+
     def build_report_from_positives(
         self,
         video_id: str,
@@ -157,9 +269,19 @@ class SiglipResources:
         round_robin: bool = True,
         epoch: int = 0,
         rng: Optional[np.random.Generator] = None,
+        tree_hint: Optional[str] = None,
+        filter_pairs: bool = True,
+        max_segments: Optional[int] = None,
     ) -> List[Tuple[str, float]]:
-        """Returns [(text, weight)] up to k pairs (reference :546-595)."""
+        """Returns [(text, weight)] up to k pairs (reference :546-595),
+        after severity/specificity positive filtering (reference :510)."""
         pairs = self.video_to_positives.get(str(video_id), [])
+        if filter_pairs:
+            filtered = self.filter_positive_pairs(
+                pairs, tree_hint=tree_hint, max_segments=max_segments
+            )
+            if filtered:
+                pairs = filtered
         if not pairs:
             return []
         if len(pairs) <= k:
@@ -180,29 +302,55 @@ class SiglipResources:
         video_id: str,
         k: int,
         rng: Optional[np.random.Generator] = None,
+        contradiction_boost: float = 0.0,
+        contradiction_min_severity: str = "moderate",
     ) -> List[Tuple[str, float]]:
         """Negative pool: same-segment -> same-tree -> global, excluding the
-        video's positives (reference build_negative_candidates:724)."""
+        video's positives (reference build_negative_candidates:724).
+
+        ``contradiction_boost`` > 0 implements the reference's contradiction
+        weighting (utils/siglip/single_head_sampler.py:770-780): a NORMAL
+        text for a segment whose positive is >= ``contradiction_min_severity``
+        is a direct contradiction — it is sampled first and its negative
+        loss weight is multiplied by the boost.
+        """
         if k <= 0:
             return []
         rng = rng or np.random.default_rng(0)
         pos_ids = {tid for tid, _ in self.video_to_positives.get(str(video_id), [])}
-        segs = {
-            self.meta_by_id[t].get("segment") for t in pos_ids
-        } - {None}
+        seg_severity: Dict[str, int] = {}
+        for t in pos_ids:
+            meta = self.meta_by_id.get(t, {})
+            seg = meta.get("segment")
+            if seg:
+                seg_severity[seg] = max(
+                    seg_severity.get(seg, -1),
+                    self._severity_order(self._severity_label(meta)),
+                )
+        segs = set(seg_severity)
         trees = {
             self.meta_by_id[t].get("tree") for t in pos_ids
         } - {None}
+        min_rank = self._severity_order(contradiction_min_severity)
 
         # priority tiers, shuffled within each tier (priority order preserved
-        # across tiers, matching the reference's bucketed assembly :724)
+        # across tiers, matching the reference's bucketed assembly :724);
+        # contradictions form their own top tier when boosted
         seen = set(pos_ids)
+        contradictions: List[str] = []
         tiers: List[List[str]] = [[], [], []]
         for s in segs:
             for t in self.texts_by_segment.get(s, []):
-                if t not in seen:
-                    seen.add(t)
-                    tiers[0].append(t)
+                if t in seen:
+                    continue
+                seen.add(t)
+                meta = self.meta_by_id[t]
+                is_contra = (
+                    contradiction_boost > 0.0
+                    and self._severity_label(meta) == "normal"
+                    and seg_severity.get(s, -1) >= min_rank >= 0
+                )
+                (contradictions if is_contra else tiers[0]).append(t)
         for tr in trees:
             for t in self.texts_by_tree.get(tr, []):
                 if t not in seen:
@@ -212,12 +360,14 @@ class SiglipResources:
             if t not in seen:
                 seen.add(t)
                 tiers[2].append(t)
-        pool: List[str] = []
+        pool: List[Tuple[str, float]] = []
+        rng.shuffle(contradictions)
+        pool.extend((t, max(contradiction_boost, 1.0)) for t in contradictions)
         for tier in tiers:
             tier = list(tier)
             rng.shuffle(tier)
-            pool.extend(tier)
-        return [(self.text_by_id[t], 1.0) for t in pool[:k]]
+            pool.extend((t, 1.0) for t in tier)
+        return [(self.text_by_id[t], w) for t, w in pool[:k]]
 
 
 class SiglipVideoDataset(VideoClipDataset):
@@ -231,6 +381,10 @@ class SiglipVideoDataset(VideoClipDataset):
         max_positive_per_video: int = 8,
         negatives_per_video: int = 0,
         round_robin: bool = True,
+        max_segments_per_video: Optional[int] = None,
+        contradiction_boost: float = 0.0,
+        contradiction_min_severity: str = "moderate",
+        tree_column: str = "tree",
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -239,6 +393,10 @@ class SiglipVideoDataset(VideoClipDataset):
         self.max_pos = max_positive_per_video
         self.n_neg = negatives_per_video
         self.round_robin = round_robin
+        self.max_segments = max_segments_per_video
+        self.contradiction_boost = contradiction_boost
+        self.contradiction_min_severity = contradiction_min_severity
+        self.tree_column = tree_column
         # drop samples with no positives (reference :443-445)
         kept = []
         for s in self.samples:
@@ -268,11 +426,19 @@ class SiglipVideoDataset(VideoClipDataset):
         import zlib
 
         rng = np.random.default_rng((zlib.crc32(vid.encode()), self.epoch))
+        row = self.df.loc[self.samples[i]["row_indices"][0]]
+        tree_hint = (str(row[self.tree_column])
+                     if self.tree_column in row else None)
         out["positives"] = self.siglip.sample_positives(
             vid, self.max_pos, round_robin=self.round_robin,
-            epoch=self.epoch, rng=rng,
+            epoch=self.epoch, rng=rng, tree_hint=tree_hint,
+            max_segments=self.max_segments,
         )
-        out["negatives"] = self.siglip.sample_negatives(vid, self.n_neg, rng=rng)
+        out["negatives"] = self.siglip.sample_negatives(
+            vid, self.n_neg, rng=rng,
+            contradiction_boost=self.contradiction_boost,
+            contradiction_min_severity=self.contradiction_min_severity,
+        )
         out["video_id"] = vid
         # LocCa generation target (reference siglip_support.py:815-900)
         out["locca_report"] = self.siglip.build_report_from_positives(vid)

@@ -155,6 +155,11 @@ class VideoContrastiveLearningRunner:
                     max_positive_per_video=cfg.siglip_max_positive_per_video,
                     negatives_per_video=cfg.siglip_negatives_per_video,
                     round_robin=cfg.siglip_round_robin_sampling,
+                    max_segments_per_video=cfg.siglip_max_segments_per_video,
+                    contradiction_boost=cfg.siglip_contradiction_boost,
+                    contradiction_min_severity=(
+                        cfg.siglip_contradiction_min_severity
+                    ),
                     **common,
                 )
         else:
