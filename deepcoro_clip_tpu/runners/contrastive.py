@@ -412,7 +412,8 @@ class VideoContrastiveLearningRunner:
             return {}
         v_emb = np.concatenate(v_embs)
         metrics = {"loss": float(np.mean(losses))}
-        retrieval = self._retrieval_eval(v_emb, texts, epoch, split)
+        retrieval = self._retrieval_eval(v_emb, texts, epoch, split,
+                                         paths=paths)
         metrics.update(retrieval)
         return metrics
 
@@ -445,7 +446,8 @@ class VideoContrastiveLearningRunner:
             embs.append(np.asarray(e, np.float32)[: len(chunk)])
         return np.concatenate(embs) if embs else np.zeros((0, 1), np.float32)
 
-    def _retrieval_eval(self, v_emb, texts, epoch, split) -> Dict[str, float]:
+    def _retrieval_eval(self, v_emb, texts, epoch, split,
+                        paths: Optional[List[str]] = None) -> Dict[str, float]:
         """Dedup -> encode -> NxM similarity -> metrics -> artifacts
         (reference :853-1021).
 
@@ -505,6 +507,7 @@ class VideoContrastiveLearningRunner:
                     1 + min(np.sum(sim[i] > sim[i, j]) for j in pos_ids[i])
                 )
                 rows.append({
+                    "path": (paths[i] if paths and i < len(paths) else ""),
                     "gt_text": unique_texts[text_ids[i]],
                     "gt_rank": gt_rank,
                     **{f"top{j+1}_text": unique_texts[t]
@@ -525,7 +528,7 @@ class VideoContrastiveLearningRunner:
                 art / f"qualitative_epoch_{epoch}.html",
                 [
                     {
-                        "path": "", "gt_text": r["gt_text"],
+                        "path": r["path"], "gt_text": r["gt_text"],
                         "gt_rank": r["gt_rank"],
                         "topk_texts": [r[f"top{j+1}_text"]
                                        for j in range(k)],

@@ -404,6 +404,13 @@ def make_train_step(bundle: ClipBundle):
             "temperature": out["temperature"],
             "alignment": alignment_score(out["video_emb"], out["text_emb"]),
             "grad_norm": optim_lib.global_norm(grads),
+            # per-layer gradient norms (reference log_gradient_norms,
+            # utils/wandb_logger.py:491-510): per tower + per backbone block
+            **{f"grad_norm_{k}": optim_lib.global_norm(v)
+               for k, v in grads.items()
+               if k in ("video_encoder", "text_encoder", "locca_decoder")},
+            **{f"grad_norm_video_{k}": optim_lib.global_norm(v)
+               for k, v in grads["video_encoder"].get("backbone", {}).items()},
             "video_emb_norm": jnp.mean(
                 jnp.linalg.norm(out["video_emb"].astype(jnp.float32), axis=-1)
             ),

@@ -36,6 +36,30 @@ def _frame_to_png_b64(frame: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def filmstrip_b64(clip: np.ndarray, n_frames: int = 3) -> str:
+    """[T, H, W, 3] clip -> base64 PNG filmstrip (first/middle/last frames),
+    the wandb-free analogue of the reference's embedded playable videos
+    (reference: utils/wandb_logger.py:625-906)."""
+    clip = np.asarray(clip)
+    T = clip.shape[0]
+    idx = np.linspace(0, T - 1, min(n_frames, T)).round().astype(int)
+    strip = np.concatenate([clip[i] for i in idx], axis=1)
+    return _frame_to_png_b64(strip)
+
+
+def load_clip_media(path: str, resize: int = 112) -> Optional[str]:
+    """Decode a clip from disk and return its filmstrip b64 (None on any
+    failure — media is best-effort, reports must never crash on IO)."""
+    try:
+        from deepcoro_clip_tpu.data.video_io import load_video
+
+        clip = load_video(path, n_frames=3, resize=resize,
+                          output_dtype="uint8")
+        return filmstrip_b64(clip)
+    except Exception:
+        return None
+
+
 def write_retrieval_report(
     out_path: str | Path,
     records: List[Dict],
@@ -48,6 +72,12 @@ def write_retrieval_report(
     records = sorted(records, key=lambda r: r.get("gt_rank", 1))
     chosen = [("Best retrievals", records[:n_best]),
               ("Worst retrievals", records[-n_worst:][::-1])]
+    # embed media for the selected rows only (decode is per-row IO)
+    for _, recs in chosen:
+        for r in recs:
+            if r.get("frame") is None and r.get("media_b64") is None \
+                    and r.get("path"):
+                r["media_b64"] = load_clip_media(str(r["path"]))
     parts = [f"<html><head><meta charset='utf-8'><title>{html.escape(title)}"
              "</title><style>body{font-family:sans-serif;margin:2em}"
              "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
@@ -58,7 +88,10 @@ def write_retrieval_report(
                      "<th>GT text (rank)</th><th>top-k retrieved</th></tr>")
         for r in recs:
             img = ""
-            if r.get("frame") is not None:
+            if r.get("media_b64"):
+                img = (f"<img src='data:image/png;base64,"
+                       f"{r['media_b64']}'/><br/>")
+            elif r.get("frame") is not None:
                 img = (f"<img src='data:image/png;base64,"
                        f"{_frame_to_png_b64(r['frame'])}'/><br/>")
             topk = "<br/>".join(
