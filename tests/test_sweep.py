@@ -1,0 +1,112 @@
+"""Sweep driver: TPE suggestions, successive-halving rungs, and a tiny
+end-to-end random sweep through the real runner."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+from run_sweep import (  # noqa: E402
+    sample_params,
+    successive_halving,
+    tpe_suggest,
+)
+
+
+SPEC = {
+    "x": {"min": 0.0, "max": 1.0},
+    "lr": {"min": 1e-5, "max": 1e-1, "log": True},
+    "opt": {"values": ["a", "b"]},
+}
+
+
+def test_sample_params_respects_bounds():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        p = sample_params(SPEC, rng)
+        assert 0.0 <= p["x"] <= 1.0
+        assert 1e-5 <= p["lr"] <= 1e-1
+        assert p["opt"] in ("a", "b")
+
+
+def test_tpe_concentrates_near_optimum():
+    """Objective: (x - 0.3)^2, minimized. After random exploration, TPE
+    suggestions must cluster near 0.3 far more than random sampling would."""
+    rng = np.random.default_rng(0)
+    spec = {"x": {"min": 0.0, "max": 1.0}}
+    obs = []
+    for i in range(40):
+        p = (tpe_suggest(obs, spec, rng) if i >= 8
+             else sample_params(spec, rng))
+        obs.append({"params": p, "score": (p["x"] - 0.3) ** 2})
+    late = [o["params"]["x"] for o in obs[-15:]]
+    assert np.mean(np.abs(np.asarray(late) - 0.3)) < 0.15
+
+
+def test_tpe_falls_back_to_random_when_unscored():
+    rng = np.random.default_rng(0)
+    p = tpe_suggest([{"params": {"x": 0.5}, "score": None}],
+                    {"x": {"min": 0.0, "max": 1.0}}, rng)
+    assert 0.0 <= p["x"] <= 1.0
+
+
+def test_successive_halving_rungs(monkeypatch, tmp_path):
+    calls = []
+
+    def fake_run_trial(base_config, params, run_dir, metric, mode,
+                       epochs=None, resume=False):
+        calls.append({"trial": run_dir.name, "epochs": epochs,
+                      "resume": resume})
+        return params["x"]  # lower x = better
+
+    import run_sweep
+
+    monkeypatch.setattr(run_sweep, "run_trial", fake_run_trial)
+    population = [{"x": v} for v in (0.9, 0.1, 0.5, 0.7, 0.3, 0.8)]
+    survivors = run_sweep.successive_halving(
+        "cfg.yaml", population, tmp_path, "val/loss", "min",
+        min_iter=1, eta=3, max_iter=9,
+    )
+    # rung 0: 6 trials at 1 epoch; rung 1: top 2 at 3; rung 2: top 1 at 9
+    assert survivors[0]["params"]["x"] == 0.1
+    rung0 = [c for c in calls if c["epochs"] == 1]
+    rung1 = [c for c in calls if c["epochs"] == 3]
+    assert len(rung0) == 6 and not any(c["resume"] for c in rung0)
+    assert len(rung1) == 2 and all(c["resume"] for c in rung1)
+
+
+@pytest.mark.slow
+def test_random_sweep_end_to_end(tmp_path):
+    r = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"c{i}.npy"
+        np.save(p, r.integers(0, 255, (6, 32, 32, 3)).astype(np.uint8))
+        rows.append({"FileName": str(p), "Report": f"report {i % 2}",
+                     "StudyInstanceUID": f"S{i}",
+                     "Split": "train" if i < 6 else "val"})
+    csv = tmp_path / "d.csv"
+    pd.DataFrame(rows).to_csv(csv, sep="α", index=False)
+    base = dict(
+        pipeline_project="DeepCORO_clip", run_mode="train",
+        data_filename=str(csv), output_dir=str(tmp_path / "out"),
+        epochs=1, batch_size=2, frames=4, resize=32, num_workers=1,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        text_dim=32, text_depth=1, text_heads=2, text_vocab_size=256,
+        max_text_length=8, embedding_dim=16, num_heads=2, aggregator_depth=1,
+        dropout=0.0, precision="fp32", use_pallas_attention=False,
+        use_wandb=False, recall_k=[1], ndcg_k=[1], seed=0,
+    )
+    bp = tmp_path / "base.yaml"
+    yaml.safe_dump(base, bp.open("w"))
+
+    from run_sweep import run_trial
+
+    score = run_trial(str(bp), {"lr": 1e-3}, tmp_path / "trial_000",
+                      "val/loss", "min")
+    assert score is not None and np.isfinite(score)
