@@ -131,14 +131,15 @@ def _resize_frames(frames: np.ndarray, size: int) -> np.ndarray:
 
 
 def augment_frames(frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Light stochastic augmentation (stand-in for the reference's
-    RandAugment(magnitude=9, num_ops=2), utils/video.py:260-276): random
-    brightness/contrast jitter + horizontal flip, applied per-clip."""
-    f = frames.astype(np.float32)
+    """RandAugment(magnitude=9, num_ops=2) on the uint8 clip, matching the
+    reference (utils/video.py:268-275), plus the 50% horizontal flip."""
+    from deepcoro_clip_tpu.data.randaugment import rand_augment_clip
+
+    u8 = np.clip(frames, 0, 255).astype(np.uint8)
     if rng.random() < 0.5:
-        f = f[:, :, ::-1, :]
-    f = f * rng.uniform(0.8, 1.2) + rng.uniform(-20, 20)
-    return np.clip(f, 0, 255)
+        u8 = u8[:, :, ::-1, :]
+    return rand_augment_clip(np.ascontiguousarray(u8), rng,
+                             magnitude=9, num_ops=2)
 
 
 def load_video(
