@@ -140,6 +140,11 @@ class ClipConfig(BaseConfig):
     # ---- TPU-native additions ----
     precision: str = "bf16"  # bf16 | fp32 compute (params always fp32)
     use_pallas_attention: bool = True  # Pallas flash-attn on TPU backend
+    # sequence parallelism: ring attention over the token axis in the video
+    # backbone (parallel/ring_attention.py; active when the token count is
+    # divisible by the ring-axis size)
+    use_ring_attention: bool = False
+    ring_axis: str = "model"
     # video transformer architecture (used when model_name in {"mvit","vit"})
     # head_dim 128 = one full MXU/VPU lane tile per head
     vit_dim: int = 512

@@ -109,3 +109,25 @@ class LinearProbingConfig(BaseConfig):
     vit_heads: int = 4
     vit_patch: List[int] = field(default_factory=lambda: [2, 16, 16])
     vit_pool_stages: List[int] = field(default_factory=list)
+
+
+@ConfigRegistry.register("DeepCORO_Multiview", "DeepCORO_Multiview_test")
+@dataclass
+class MultiviewConfig(LinearProbingConfig):
+    """Legacy multiview config (reference: utils/config/multiview_config.py
+    :11-55, registered but used by no project in the reference either).
+    An alias of the linear-probing pipeline with the legacy field names, so
+    old DeepCORO_Multiview YAMLs still parse and dispatch."""
+
+    task: str = "classification"
+    linear_probing_head: str = "linear"
+    # legacy knob: single encoder lr (maps onto the probing lr)
+    video_encoder_lr: Optional[float] = None
+
+    def __post_init__(self):
+        if self.video_encoder_lr is not None:
+            self.lr = float(self.video_encoder_lr)
+        # the legacy pipeline dispatches to the linear-probing project
+        if self.pipeline_project.startswith("DeepCORO_Multiview"):
+            object.__setattr__(self, "pipeline_project",
+                               "DeepCORO_video_linear_probing")

@@ -76,6 +76,11 @@ class Attention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     use_flash: bool = True
+    # sequence parallelism: when a mesh is given, self-attention runs as
+    # ring attention with the token axis sharded over ``ring_axis``
+    # (parallel/ring_attention.py; NEW capability vs the reference)
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(
@@ -108,15 +113,29 @@ class Attention(nn.Module):
 
         q, k, v = split(q, Lq), split(k, Lk), split(v, Lk)
 
-        backend = "auto" if self.use_flash else "xla"
-        out = flash_attention(
-            q, k, v,
-            sin=None if sin is None else jnp.asarray(sin),
-            cos=None if cos is None else jnp.asarray(cos),
-            kv_mask=kv_mask,
-            causal=causal,
-            backend=backend,
+        use_ring = (
+            self.ring_mesh is not None and context is None and not causal
+            and kv_mask is None
+            and Lq % self.ring_mesh.shape[self.ring_axis] == 0
         )
+        if use_ring:
+            from deepcoro_clip_tpu.ops.attention import apply_rope
+            from deepcoro_clip_tpu.parallel.ring_attention import ring_attention
+
+            if sin is not None:
+                s, c = jnp.asarray(sin), jnp.asarray(cos)
+                q, k = apply_rope(q, s, c), apply_rope(k, s, c)
+            out = ring_attention(q, k, v, self.ring_mesh, axis=self.ring_axis)
+        else:
+            backend = "auto" if self.use_flash else "xla"
+            out = flash_attention(
+                q, k, v,
+                sin=None if sin is None else jnp.asarray(sin),
+                cos=None if cos is None else jnp.asarray(cos),
+                kv_mask=kv_mask,
+                causal=causal,
+                backend=backend,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
         out = dense(self.dim, ("model", None), dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -132,6 +151,8 @@ class TransformerBlock(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     use_flash: bool = True
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(
@@ -140,6 +161,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
             self.dim, self.num_heads, self.dropout, self.dtype, self.use_flash,
+            ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
             name="attn",
         )(h, sin=sin, cos=cos, kv_mask=kv_mask, deterministic=deterministic)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)

@@ -57,6 +57,10 @@ class CoroViT(nn.Module):
     rope_temporal_scale: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = True
+    # sequence parallelism for the backbone attention (ring over the token
+    # axis; active only when the token count divides the ring-axis size)
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -89,7 +93,9 @@ class CoroViT(nn.Module):
                 sin, cos = tables.sin, tables.cos
             x = TransformerBlock(
                 self.dim, self.num_heads, dropout=self.dropout,
-                dtype=self.dtype, use_flash=self.use_flash, name=f"block{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
+                name=f"block{i}",
             )(x, sin=sin, cos=cos, deterministic=deterministic)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
@@ -125,6 +131,8 @@ class VideoEncoder(nn.Module):
     rope_temporal_scale: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = True
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "model"
 
     def setup(self):
         self.backbone = CoroViT(
@@ -138,6 +146,8 @@ class VideoEncoder(nn.Module):
             rope_temporal_scale=self.rope_temporal_scale,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
         )
         self.proj = ProjectionHead(
             self.embedding_dim, dropout=self.dropout, dtype=self.dtype
@@ -281,9 +291,11 @@ def resolve_architecture(cfg) -> dict:
     return out
 
 
-def video_encoder_from_config(cfg, aggregate=None, per_video=None) -> VideoEncoder:
+def video_encoder_from_config(cfg, aggregate=None, per_video=None,
+                              ring_mesh=None) -> VideoEncoder:
     """Build from a ClipConfig/LinearProbingConfig (field parity with the
-    reference constructor args)."""
+    reference constructor args). ``ring_mesh``: enable ring (sequence-
+    parallel) backbone attention over the mesh's ring axis."""
     arch = resolve_architecture(cfg)
     return VideoEncoder(
         embedding_dim=cfg.embedding_dim,
@@ -304,4 +316,6 @@ def video_encoder_from_config(cfg, aggregate=None, per_video=None) -> VideoEncod
         rope_temporal_scale=getattr(cfg, "rope_temporal_scale", 1.0),
         dtype=jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32,
         use_flash=cfg.use_pallas_attention,
+        ring_mesh=ring_mesh,
+        ring_axis=getattr(cfg, "ring_axis", "model"),
     )

@@ -97,7 +97,9 @@ def build_clip_bundle(
     """Build models, params, optimizer, and the initial TrainState."""
     multi_positive = config.loss_name.lower() in MULTI_POSITIVE_LOSSES
 
-    video_model = video_encoder_from_config(config)
+    video_model = video_encoder_from_config(
+        config, ring_mesh=mesh if config.use_ring_attention else None
+    )
     text_model = text_encoder_from_config(config)
 
     batch = _sample_batch(config, multi_positive)
