@@ -1,0 +1,26 @@
+#!/bin/sh
+# External-validation container entry (reference role: the dockerfile CMD
+# driving scripts/external_validation.py from EXTERNAL_VALIDATION_DATA_PATH).
+set -eu
+
+: "${EXTERNAL_VALIDATION_DATA_PATH:?set EXTERNAL_VALIDATION_DATA_PATH to the input CSV}"
+: "${DEEPCORO_BASE_CONFIG:=config/linear_probing/stenosis_config.yaml}"
+: "${DEEPCORO_CHECKPOINT:=}"
+: "${DEEPCORO_OUTPUT_DIR:=/workspace/results}"
+
+extra=""
+if [ -n "${DEEPCORO_CHECKPOINT}" ]; then
+    extra="--checkpoint ${DEEPCORO_CHECKPOINT}"
+fi
+if [ -n "${DEEPCORO_FILTER_CONFIG:-}" ]; then
+    extra="${extra} --filter_config ${DEEPCORO_FILTER_CONFIG}"
+fi
+if [ -n "${DEEPCORO_FILTER_CHECKPOINT:-}" ]; then
+    extra="${extra} --filter_checkpoint ${DEEPCORO_FILTER_CHECKPOINT}"
+fi
+
+exec python scripts/external_validation.py \
+    --input_csv "${EXTERNAL_VALIDATION_DATA_PATH}" \
+    --base_config "${DEEPCORO_BASE_CONFIG}" \
+    --output_dir "${DEEPCORO_OUTPUT_DIR}" \
+    ${extra} "$@"
