@@ -189,11 +189,43 @@ class ProjectionHead(nn.Module):
         return x
 
 
-class PatchEmbed3D(nn.Module):
-    """3D conv patchify: [B, T, H, W, C] -> [B, T'·H'·W', dim].
+class _PatchProj(nn.Module):
+    """Holds the patchify weights under the same names/shapes nn.Conv would
+    (``kernel`` [pt,ph,pw,C,dim], ``bias`` [dim]) while applying them as a
+    plain matmul over space-to-depth patches."""
 
-    The tubelet/patch conv is the MXU-friendly replacement of the reference's
-    MViT conv_proj patchify (reference: models/video_encoder.py:232-253).
+    dim: int
+    patch: Tuple[int, int, int]
+    in_channels: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, patches):  # [B, L, pt*ph*pw*C]
+        pt, ph, pw = self.patch
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2, 3)),
+            (pt, ph, pw, self.in_channels, self.dim),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        w = kernel.reshape(pt * ph * pw * self.in_channels, self.dim)
+        y = jnp.dot(patches, w.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype)
+
+
+class PatchEmbed3D(nn.Module):
+    """3D tubelet patchify: [B, T, H, W, C] -> [B, T'·H'·W', dim].
+
+    Space-to-depth + one MXU matmul rather than a strided conv: XLA lowers
+    the (2,16,16)-stride conv over the uint8-normalized input at <20 TF/s
+    (profiled 4.6 ms/step fwd+bwd at flagship shapes), while the identical
+    computation as reshape+dot runs at matmul speed. Parameter tree is
+    exactly what nn.Conv(name="conv") would create, so checkpoints and
+    param-group code see no difference. Replaces the reference's MViT
+    conv_proj patchify (reference: models/video_encoder.py:232-253).
     """
 
     dim: int
@@ -203,13 +235,14 @@ class PatchEmbed3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         pt, ph, pw = self.patch
-        x = nn.Conv(
-            self.dim,
-            kernel_size=(pt, ph, pw),
-            strides=(pt, ph, pw),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
-        B, T, H, W, D = x.shape
-        return x.reshape(B, T * H * W, D), (T, H, W)
+        B, T, H, W, C = x.shape
+        if T % pt or H % ph or W % pw:  # pad right to a whole patch grid
+            x = jnp.pad(x, ((0, 0), (0, -T % pt), (0, -H % ph),
+                            (0, -W % pw), (0, 0)))
+            T, H, W = x.shape[1:4]
+        Tn, Hn, Wn = T // pt, H // ph, W // pw
+        p = x.reshape(B, Tn, pt, Hn, ph, Wn, pw, C)
+        p = p.transpose(0, 1, 3, 5, 2, 4, 6, 7).astype(self.dtype)
+        p = p.reshape(B, Tn * Hn * Wn, pt * ph * pw * C)
+        y = _PatchProj(self.dim, (pt, ph, pw), C, self.dtype, name="conv")(p)
+        return y, (Tn, Hn, Wn)
