@@ -116,6 +116,12 @@ class ClipConfig(BaseConfig):
     siglip_entropy_reg_weight: float = 0.0
     siglip_auto_balance: bool = False
     siglip_logit_clamp: float = 30.0
+    # per-sample logit/grad debug dumps (reference siglip_debug_batches/
+    # every/sample_count gates, runners/video_constrative_learning_runner.py
+    # :124-131,1337-1383; utils/siglip_logging.py:106-484). 0 batches = off.
+    siglip_debug_batches: int = 0
+    siglip_debug_every: int = 1
+    siglip_debug_sample_count: int = 4
 
     # ---- LocCa report-generation head (reference:
     # config/clip/siglip2_config.yaml:62-66) ----

@@ -374,7 +374,57 @@ class VideoContrastiveLearningRunner:
                     {f"step/{k}": float(v) for k, v in metrics.items()},
                     step=int(self.state.step),
                 )
+            # gated per-sample logit/grad dumps (reference siglip_debug_*
+            # knobs, runner :1337-1383)
+            if (
+                self.multi_positive
+                and self.config.siglip_debug_batches > 0
+                and epoch % max(1, self.config.siglip_debug_every) == 0
+                and i < self.config.siglip_debug_batches
+                and self.config.is_ref_device
+            ):
+                self._siglip_debug_dump(epoch, i, batch, device_batch, metrics)
         return {k: v / max(n, 1) for k, v in agg.items()}
+
+    def _siglip_debug_dump(self, epoch, step, batch, device_batch, metrics):
+        """One deterministic forward on the current params, then host-side
+        per-sample positive/negative logit records + batch grad context."""
+        from deepcoro_clip_tpu.utils import siglip_logging as slog
+
+        out = self.eval_step(self.state.params, device_batch)
+        params = self.state.params
+        bias = float(params["logit_bias"]) if "logit_bias" in params else 0.0
+        logits = slog.siglip_logits(
+            np.asarray(out["video_emb"], np.float32),
+            np.asarray(out["text_emb"], np.float32),
+            float(params["log_temp"]),
+            bias,
+            self.config.siglip_logit_clamp,
+        )
+        weights = batch.get("positive_weights")
+        records = slog.build_debug_records(
+            [p[0] for p in batch["paths"]],
+            batch.get("unique_texts", []),
+            np.asarray(batch["positive_mask"]),
+            logits,
+            positive_weights=np.asarray(weights) if weights is not None else None,
+            sample_count=self.config.siglip_debug_sample_count,
+        )
+        if not hasattr(self, "_siglip_debug"):
+            self._siglip_debug = slog.SiglipDebugLogger(self.output_dir)
+        self._siglip_debug.log_batch(
+            epoch,
+            int(self.state.step),
+            records,
+            header={
+                "loss": metrics["loss"],
+                "temperature": metrics["temperature"],
+                "logit_bias": bias,
+                "grad_norm": metrics["grad_norm"],
+                "grad_norm_video": metrics.get("grad_norm_video_encoder", 0.0),
+                "grad_norm_text": metrics.get("grad_norm_text_encoder", 0.0),
+            },
+        )
 
     # ------------------------------------------------------------------ #
     # validation with retrieval metrics

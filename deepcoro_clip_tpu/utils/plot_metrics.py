@@ -123,6 +123,206 @@ def plot_epoch_metrics_line_charts(
     return Path(out)
 
 
+def _load_trajectory(trajectory):
+    import pandas as pd
+
+    return (pd.read_csv(trajectory)
+            if isinstance(trajectory, (str, Path)) else trajectory)
+
+
+def _metric_suffixes(df) -> List[str]:
+    return sorted({c.rsplit("/", 1)[1] for c in df.columns if "/" in c})
+
+
+# Coronary-system grouping (reference plot_system_specific_metrics_line_charts
+# :205 and plot_coronary_artery_specific_metrics_line_charts :359).
+VESSEL_SYSTEMS = {
+    "left": ("left_main", "lad", "d1", "d2", "ramus"),
+    "circumflex": ("lcx", "om1", "om2", "lvp"),
+    "right": ("rca", "pda", "posterolateral"),
+}
+
+
+def _vessel_in_system(vessel: str, system: Optional[str]) -> bool:
+    if system is None:
+        return True
+    return any(tok in vessel for tok in VESSEL_SYSTEMS.get(system, ()))
+
+
+def plot_multi_epoch_metrics_comprehensive(
+    trajectory, out: str | Path = "multi_epoch_metrics.png",
+    system: Optional[str] = None,
+):
+    """One subplot per metric (mae / corr / auroc@70 / ...), every vessel a
+    line, the study_max composite bold (reference
+    plot_multi_epoch_metrics_comprehensive :1103, plot_stenosis_trends :1311,
+    plot_ifr_trends :1824 — same machinery, columns select the task).
+    ``system`` filters vessels to one coronary system (reference :205,:359)."""
+    df = _load_trajectory(trajectory)
+    suffixes = _metric_suffixes(df)
+    suffixes = [s for s in suffixes if s != "n"]
+    if not suffixes or "epoch" not in df.columns:
+        return None
+    ncols = min(3, len(suffixes))
+    nrows = (len(suffixes) + ncols - 1) // ncols
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(5.5 * ncols, 3.8 * nrows), squeeze=False
+    )
+    for ax, suffix in zip(axes.flat, suffixes):
+        for c in df.columns:
+            if not c.endswith(f"/{suffix}"):
+                continue
+            vessel = c.rsplit("/", 1)[0]
+            if vessel == "study_max":
+                ax.plot(df["epoch"], df[c], "k-", lw=2.2, marker="s",
+                        label="study_max", zorder=5)
+            elif _vessel_in_system(vessel, system):
+                ax.plot(df["epoch"], df[c], marker="o", ms=3, alpha=0.7,
+                        label=vessel.replace("_stenosis", ""))
+        ax.set_xlabel("epoch")
+        ax.set_title(suffix)
+        ax.grid(alpha=0.3)
+        ax.legend(fontsize=6, ncols=2)
+    for ax in axes.flat[len(suffixes):]:
+        ax.axis("off")
+    fig.suptitle(f"per-vessel metric trajectories"
+                 + (f" — {system} system" if system else ""))
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)
+
+
+def plot_ground_truth_comparison(
+    agg_pred, agg_gt, vessel_labels: Optional[Sequence[str]] = None,
+    study_col: str = "StudyInstanceUID",
+    out: str | Path = "gt_comparison.png",
+):
+    """Per-vessel prediction-vs-ground-truth scatter grid with identity line
+    and MAE/corr annotations (reference plot_ground_truth_comparison_results
+    :525), over study-aggregated frames from
+    data/study_analysis.aggregate_study_level_data."""
+    from deepcoro_clip_tpu.data.study_analysis import DEFAULT_VESSEL_LABELS
+
+    vessel_labels = list(vessel_labels or DEFAULT_VESSEL_LABELS)
+    merged = agg_pred.merge(agg_gt, on=study_col, suffixes=("_pred", "_gt"))
+    present = [
+        v for v in vessel_labels
+        if f"{v}_pred" in merged.columns and f"{v}_gt" in merged.columns
+        and (merged[f"{v}_pred"].notna() & merged[f"{v}_gt"].notna()).sum() >= 2
+    ]
+    if not present:
+        return None
+    ncols = min(4, len(present))
+    nrows = (len(present) + ncols - 1) // ncols
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(3.4 * ncols, 3.2 * nrows), squeeze=False
+    )
+    for ax, v in zip(axes.flat, present):
+        m = merged[f"{v}_pred"].notna() & merged[f"{v}_gt"].notna()
+        p = merged.loc[m, f"{v}_pred"].to_numpy(float)
+        g = merged.loc[m, f"{v}_gt"].to_numpy(float)
+        ax.scatter(g, p, s=10, alpha=0.5)
+        lo, hi = float(min(g.min(), p.min())), float(max(g.max(), p.max()))
+        ax.plot([lo, hi], [lo, hi], "k--", lw=1)
+        mae = float(np.mean(np.abs(p - g)))
+        note = f"MAE {mae:.1f}"
+        if np.std(p) > 1e-9 and np.std(g) > 1e-9:
+            note += f"  r {np.corrcoef(p, g)[0, 1]:.2f}"
+        ax.set_title(f"{v.replace('_stenosis', '')}  ({note})", fontsize=8)
+        ax.grid(alpha=0.3)
+    for ax in axes.flat[len(present):]:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)
+
+
+def create_combined_performance_analysis(
+    trajectory, out: str | Path = "combined_performance.png",
+):
+    """Best-epoch dashboard: for each metric column, final-epoch value vs
+    best-epoch value, annotated with the best epoch (reference
+    create_combined_performance_analysis :1916,
+    analyze_trends_over_epochs :2060). Returns (path, summary DataFrame)."""
+    import pandas as pd
+
+    df = _load_trajectory(trajectory)
+    if "epoch" not in df.columns or len(df) == 0:
+        return None
+    rows = []
+    for c in df.columns:
+        if c == "epoch" or c.endswith("/n"):
+            continue
+        s = df[c].astype(float)
+        if s.notna().sum() == 0:
+            continue
+        # lower is better for error metrics, higher for corr/auroc
+        minimize = any(tok in c for tok in ("mae", "mse", "rmse", "loss"))
+        best_i = int(s.idxmin() if minimize else s.idxmax())
+        rows.append({
+            "metric": c,
+            "final": float(s.iloc[-1]),
+            "best": float(s.iloc[best_i]),
+            "best_epoch": int(df["epoch"].iloc[best_i]),
+            "minimize": minimize,
+        })
+    summary = pd.DataFrame(rows)
+    if summary.empty:
+        return None
+    fig, ax = plt.subplots(
+        figsize=(max(7, 0.45 * len(summary)), 4.5)
+    )
+    x = np.arange(len(summary))
+    ax.bar(x - 0.2, summary["final"], width=0.4, label="final epoch")
+    ax.bar(x + 0.2, summary["best"], width=0.4, label="best epoch")
+    for i, r in summary.iterrows():
+        ax.text(i + 0.2, r["best"], f"e{r['best_epoch']}",
+                ha="center", va="bottom", fontsize=6)
+    ax.set_xticks(x, [m.replace("_stenosis", "") for m in summary["metric"]],
+                  rotation=75, fontsize=6)
+    ax.legend()
+    ax.grid(alpha=0.3, axis="y")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out), summary
+
+
+def plot_categorical_trends(
+    trajectory, prefix: str, out: Optional[str | Path] = None,
+):
+    """Trend lines for categorical heads (reference
+    plot_calcification_by_severity_trends :1502 /
+    plot_calcification_trends :1696): plots every ``<prefix>*/<metric>``
+    column trajectory, one subplot per metric."""
+    df = _load_trajectory(trajectory)
+    cols = [c for c in df.columns if c.startswith(prefix) and "/" in c]
+    if not cols or "epoch" not in df.columns:
+        return None
+    suffixes = sorted({c.rsplit("/", 1)[1] for c in cols if
+                       c.rsplit("/", 1)[1] != "n"})
+    fig, axes = plt.subplots(
+        1, max(1, len(suffixes)), figsize=(5.5 * max(1, len(suffixes)), 4),
+        squeeze=False,
+    )
+    for ax, suffix in zip(axes.flat, suffixes):
+        for c in cols:
+            if c.endswith(f"/{suffix}"):
+                ax.plot(df["epoch"], df[c], marker="o", ms=3,
+                        label=c.rsplit("/", 1)[0])
+        ax.set_xlabel("epoch")
+        ax.set_title(f"{prefix} {suffix}")
+        ax.grid(alpha=0.3)
+        ax.legend(fontsize=6)
+    out = out or f"{prefix}_trends.png"
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)
+
+
 def plot_grad_norms(run_dir: str | Path, out: Optional[str | Path] = None):
     """Per-module gradient-norm curves from the step metrics (reference
     log_gradient_norms, utils/wandb_logger.py:491-510)."""
@@ -161,4 +361,18 @@ def plot_run_summary(run_dir: str | Path) -> List[Path]:
                 outs.append(p)
         except Exception:
             continue
+    # trajectory panels when a multi-epoch analysis CSV exists (the
+    # reference's save_plots_to_files :2127 role)
+    traj = Path(run_dir) / "epoch_trajectory.csv"
+    if traj.exists():
+        for fn, name in (
+            (plot_multi_epoch_metrics_comprehensive, "multi_epoch_metrics.png"),
+            (create_combined_performance_analysis, "combined_performance.png"),
+        ):
+            try:
+                p = fn(traj, out=Path(run_dir) / name)
+                if p is not None:
+                    outs.append(p[0] if isinstance(p, tuple) else p)
+            except Exception:
+                continue
     return outs

@@ -22,6 +22,12 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+# Self-sufficient imports without touching PYTHONPATH: overriding PYTHONPATH
+# here would shadow /root/.axon_site's sitecustomize, which registers the
+# axon TPU PJRT plugin at interpreter start (JAX_PLATFORMS=axon would then
+# fail with "unknown backend").
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 CORPUS = REPO / ".synth_corpus"
 RUN_DIR = REPO / ".quality_run"
 ART = RUN_DIR / "artifacts"
