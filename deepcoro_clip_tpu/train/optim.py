@@ -96,13 +96,22 @@ def freeze_fractions(
 def apply_freeze_mask(updates: PyTree, fracs: PyTree, ratio) -> PyTree:
     """Zero updates for frozen leaves (ratio may be a traced scalar).
 
-    Frozen when ``start_frac < 1 - ratio`` (bottom-up partial freeze), or when
-    ``ratio >= 1.0`` (full freeze of the whole tower — the reference's
-    linear-probing convention, projects/linear_probing_project.py:203-206,
-    which overrides even never-frozen heads like proj).
+    Conventions (the reference holds all three at once):
+    - ``ratio <= 0.0``: NO freezing — the reference encoder docstring's
+      "0.0 = all trainable" (models/video_encoder.py:461) and this repo's
+      config default. (The reference's *code* at ratio exactly 0 would
+      freeze everything; that reading would make the default config train
+      nothing, so the docstring convention wins.)
+    - ``0 < ratio < 1``: bottom-up partial freeze — frozen when
+      ``start_frac < 1 - ratio``, i.e. ratio is the trainable-from-the-top
+      fraction (models/video_encoder.py:442-455: ratio 0.87 keeps the top
+      87% trainable).
+    - ``ratio >= 1.0``: full freeze of the whole tower — the reference's
+      linear-probing convention (projects/linear_probing_project.py:203-206),
+      which overrides even never-frozen heads like proj.
     """
     r = jnp.float32(ratio)
-    keep = lambda f: ((f >= 1.0 - r) & (r < 1.0))
+    keep = lambda f: ((f >= 1.0 - r) | (r <= 0.0)) & (r < 1.0)
     return jax.tree_util.tree_map(
         lambda u, f: u * keep(f).astype(u.dtype), updates, fracs
     )

@@ -66,6 +66,28 @@ def test_clip_train_step_runs_and_learns(mesh):
     assert int(state.step) == 5
 
 
+def test_ratio_zero_trains_the_backbone(mesh):
+    """Config-default freeze ratio 0.0 must mean NO freezing: backbone
+    blocks and patch embed get real gradient flow (regression for the
+    round-2 bug where ratio 0.0 froze the entire tower and flagship
+    training silently learned projections over random features)."""
+    cfg = tiny_config()
+    bundle, state = build_clip_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    step_fn = make_train_step(bundle)
+    batch = bundle.batch_sharding_fn(synth_batch(cfg))
+    before = jax.tree_util.tree_map(np.asarray, state.params["video_encoder"])
+    # two steps: cosine_with_warmup has lr == 0 at step 0
+    state2, m = step_fn(state, batch, jax.random.PRNGKey(0), 0.0, 0.0, -1.0)
+    state2, m = step_fn(state2, batch, jax.random.PRNGKey(1), 0.0, 0.0, -1.0)
+    after = jax.tree_util.tree_map(np.asarray, state2.params["video_encoder"])
+    for sub in ("patch_embed", "block0", "norm"):
+        db = jax.tree_util.tree_leaves(before["backbone"][sub])
+        da = jax.tree_util.tree_leaves(after["backbone"][sub])
+        moved = sum(float(np.abs(b - a).max()) for b, a in zip(db, da))
+        assert moved > 0.0, f"backbone/{sub} did not train at ratio 0.0"
+    assert float(m["grad_norm_video_encoder"]) > 0.0
+
+
 def test_tensor_parallel_params_are_sharded(mesh):
     cfg = tiny_config()
     bundle, state = build_clip_bundle(cfg, mesh, jax.random.PRNGKey(0))

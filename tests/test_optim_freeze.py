@@ -3,7 +3,9 @@
 ``ratio`` is the trainable-from-the-top fraction: ratio 0.8 freezes the
 BOTTOM ~20% of the backbone, never proj/aggregator; ratio 1.0 is the
 full-freeze special case (reference linear-probing convention,
-projects/linear_probing_project.py:203-206).  Round-1 ADVICE found the
+projects/linear_probing_project.py:203-206); ratio 0.0 — the config
+default — freezes NOTHING (reference encoder docstring convention,
+models/video_encoder.py:461).  Round-1 ADVICE found the partial-ratio
 semantics inverted — these tests pin the corrected behavior.
 """
 
@@ -81,12 +83,14 @@ def test_ratio_one_full_freeze_includes_heads():
     assert all(float(jnp.sum(l)) == 0.0 for l in jax.tree_util.tree_leaves(masked))
 
 
-def test_ratio_zero_freezes_whole_backbone_only():
+def test_ratio_zero_freezes_nothing():
+    # the config default: 0.0 means "no freezing" (reference encoder
+    # docstring convention, models/video_encoder.py:461) — NOT full freeze,
+    # which is spelled ratio 1.0 (linear-probing convention).
     p = _params()
     fracs = optim_lib.freeze_fractions(p, include=("backbone",))
-    frozen = _frozen_names(p, fracs, 0.0)
-    assert all(n.startswith("backbone") for n in frozen)
-    assert len([n for n in frozen if n.startswith("backbone")]) == 4
+    assert _frozen_names(p, fracs, 0.0) == set()
+    assert _frozen_names(p, fracs, -1.0) == set()
 
 
 def test_exclude_variant_for_text_tower():
