@@ -341,28 +341,32 @@ class VideoContrastiveLearningRunner:
                 "best_val_loss": self.best_val_loss}
 
     def _run_train_epoch(self, epoch: int, temp: float, vfr: float, tfr: float):
+        """Pipelined step loop: the host reads back step i's metrics only
+        AFTER step i+1 has been dispatched and batch i+2's H2D transfer
+        started, so the device queue never drains on the per-step readback
+        (one device->host round trip per step would otherwise serialize the
+        loop; see CLAUDE.md on dispatch latency). The NaN save-and-raise
+        (reference :478-492) therefore fires one step late — the saved
+        checkpoint is one optimizer step past the non-finite loss, which the
+        error message records."""
         loader = self.loaders["train"]
         loader.set_epoch(epoch)
         agg: Dict[str, float] = {}
         n = 0
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), epoch)
-        for i, batch in enumerate(loader):
-            device_batch = self.bundle.batch_sharding_fn(
-                {k: v for k, v in batch.items()
-                 if isinstance(v, np.ndarray)}
-            )
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self.train_step(
-                self.state, device_batch, sub, vfr, tfr, temp
-            )
-            loss = float(metrics["loss"])
+        pending = None  # (i, batch, device_batch, metrics) of the prior step
+
+        def consume(entry):
+            nonlocal n
+            i, batch, device_batch, metrics = entry
+            loss = float(metrics["loss"])  # blocks; device is already busy
             if not math.isfinite(loss):
-                # save-and-raise (reference :478-492)
                 if self.config.is_ref_device:
                     self.ckpt.save_latest(self.state, {"epoch": epoch,
                                                        "nan_loss_at_step": i})
                 raise NonFiniteLossError(
-                    f"non-finite loss {loss} at epoch {epoch} step {i}"
+                    f"non-finite loss {loss} at epoch {epoch} step {i} "
+                    "(checkpoint state is one step past the failure)"
                 )
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
@@ -384,6 +388,21 @@ class VideoContrastiveLearningRunner:
                 and self.config.is_ref_device
             ):
                 self._siglip_debug_dump(epoch, i, batch, device_batch, metrics)
+
+        for i, batch in enumerate(loader):
+            device_batch = self.bundle.batch_sharding_fn(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, np.ndarray)}
+            )
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self.train_step(
+                self.state, device_batch, sub, vfr, tfr, temp
+            )
+            if pending is not None:
+                consume(pending)
+            pending = (i, batch, device_batch, metrics)
+        if pending is not None:
+            consume(pending)
         return {k: v / max(n, 1) for k, v in agg.items()}
 
     def _siglip_debug_dump(self, epoch, step, batch, device_batch, metrics):
