@@ -58,6 +58,10 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p, c, c, c, c, i64p, c, f32p, c, c, f32p, f32p, c,
     ]
     lib.fv_channel_stats.argtypes = [u8p, ctypes.c_int64, c, f64p, f64p]
+    if hasattr(lib, "fv_augment_op"):  # older .so without the augment entry
+        lib.fv_augment_op.argtypes = [
+            u8p, c, c, c, c, c, ctypes.c_float, ctypes.c_float,
+        ]
     _lib = lib
     return _lib
 
@@ -103,6 +107,26 @@ def sample_resize_normalize(
         frames, F, H, W, C, idx, len(idx), out, oh, ow, m, s, int(do_norm)
     )
     return out
+
+
+def augment_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fv_augment_op")
+
+
+def augment_op(clip: np.ndarray, op_id: int, level: float, sign: float) -> np.ndarray:
+    """Apply one RandAugment op IN PLACE on a [T,H,W,C] uint8 clip.
+
+    ``op_id`` indexes randaugment.OPS order; semantics match the numpy
+    oracle in data/randaugment.py (parity-tested)."""
+    lib = _load()
+    assert lib is not None
+    if clip.dtype != np.uint8:
+        raise TypeError(f"fastvideo operates on uint8 clips, got {clip.dtype}")
+    clip = np.ascontiguousarray(clip)
+    T, H, W, C = clip.shape
+    lib.fv_augment_op(clip, T, H, W, C, int(op_id), float(level), float(sign))
+    return clip
 
 
 def channel_stats(frames: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:

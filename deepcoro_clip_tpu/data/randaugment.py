@@ -180,13 +180,32 @@ def rand_augment_clip(
     rng: np.random.Generator,
     magnitude: int = 9,
     num_ops: int = 2,
+    backend: str = "auto",  # auto | native | numpy
 ) -> np.ndarray:
     """Apply ``num_ops`` randomly-chosen ops at ``magnitude`` to the whole
-    clip [T, H, W, 3] uint8 (same params for every frame)."""
+    clip [T, H, W, 3] uint8 (same params for every frame).
+
+    ``backend='auto'`` executes ops through the C++ fastvideo library when
+    present (the numpy ops here are the parity oracle and the fallback);
+    op/sign sampling always happens here, so the two backends consume the
+    same RNG stream and pick identical transforms."""
     assert clip.dtype == np.uint8, "RandAugment operates on uint8 pixels"
     names = list(OPS)
+    use_native = False
+    if backend in ("auto", "native"):
+        from deepcoro_clip_tpu.data import fastvideo_binding as fv
+
+        use_native = fv.augment_available()
+        if backend == "native" and not use_native:
+            raise RuntimeError("fastvideo native augment unavailable")
+    if use_native:
+        # the native ops mutate in place; keep the caller's array intact
+        clip = np.ascontiguousarray(clip).copy()
     for _ in range(num_ops):
-        op = names[int(rng.integers(len(names)))]
+        op_id = int(rng.integers(len(names)))
         sign = 1.0 if rng.random() < 0.5 else -1.0
-        clip = OPS[op](clip, float(magnitude), sign)
+        if use_native:
+            clip = fv.augment_op(clip, op_id, float(magnitude), sign)
+        else:
+            clip = OPS[names[op_id]](clip, float(magnitude), sign)
     return clip

@@ -172,13 +172,20 @@ class LinearProbingRunner:
             loader.set_epoch(epoch)
             agg: Dict[str, float] = {}
             n = 0
+            pending = None  # pipelined readback (see contrastive runner)
             for batch in loader:
                 db = self.bundle.batch_sharding_fn(self._device_part(batch))
                 rng, sub = jax.random.split(rng)
                 self.state, metrics = self.train_step(
                     self.state, db, sub, cfg.video_freeze_ratio
                 )
-                for k, v in metrics.items():
+                if pending is not None:
+                    for k, v in pending.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                    n += 1
+                pending = metrics
+            if pending is not None:
+                for k, v in pending.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
                 n += 1
             train_metrics = {k: v / max(n, 1) for k, v in agg.items()}

@@ -191,6 +191,26 @@ class MultitaskRunner:
             loader.set_epoch(epoch)
             agg: Dict[str, float] = {}
             n = 0
+            pending = None  # pipelined readback (see contrastive runner)
+
+            def consume(entry):
+                nonlocal n
+                i, metrics = entry
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    # NaN save-and-raise (reference :478-492); state is one
+                    # step past the failure (pipelined loop)
+                    if cfg.is_ref_device:
+                        self.ckpt.save_latest(
+                            self.state, {"epoch": epoch, "nan_loss_at_step": i}
+                        )
+                    raise NonFiniteLossError(
+                        f"non-finite loss {loss} at epoch {epoch} step {i}"
+                    )
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                n += 1
+
             for i, batch in enumerate(loader):
                 w = self.weight_sched.at(self.global_step)
                 db = self.bundle.batch_sharding_fn(
@@ -204,19 +224,11 @@ class MultitaskRunner:
                     w.get("mvm", 1.0), vfr, tfr, temp,
                 )
                 self.global_step += 1
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss):
-                    # NaN save-and-raise (reference :478-492)
-                    if cfg.is_ref_device:
-                        self.ckpt.save_latest(
-                            self.state, {"epoch": epoch, "nan_loss_at_step": i}
-                        )
-                    raise NonFiniteLossError(
-                        f"non-finite loss {loss} at epoch {epoch} step {i}"
-                    )
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
-                n += 1
+                if pending is not None:
+                    consume(pending)
+                pending = (i, metrics)
+            if pending is not None:
+                consume(pending)
             train_metrics = {k: v / max(n, 1) for k, v in agg.items()}
             self.logger.log({f"train/{k}": v for k, v in train_metrics.items()},
                             step=epoch)

@@ -9,7 +9,9 @@
 // Build: native/build.sh  (g++ -O3 -march=native -shared -fPIC)
 
 #include <algorithm>
+#include <array>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -152,6 +154,265 @@ void fv_channel_stats(const uint8_t* in, int64_t n_pixels, int C, double* sum,
       sum[c] += v;
       sumsq[c] += v * v;
     }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------- //
+// RandAugment ops (reference: utils/video.py:268-275 applies torchvision
+// RandAugment(magnitude=9, num_ops=2) to the whole clip). Semantics mirror
+// deepcoro_clip_tpu/data/randaugment.py (the numpy oracle) op for op:
+// geometry = one inverse-mapped bilinear affine warp, photometric ops are
+// 256-entry LUTs where possible. Python keeps the op/magnitude sampling
+// (RNG reproducibility); C++ only executes the chosen op.
+// ---------------------------------------------------------------------- //
+
+// Op ids — MUST match the ordering of randaugment.OPS.
+enum AugOp {
+  AUG_IDENTITY = 0,
+  AUG_AUTOCONTRAST = 1,
+  AUG_EQUALIZE = 2,
+  AUG_ROTATE = 3,
+  AUG_SOLARIZE = 4,
+  AUG_COLOR = 5,
+  AUG_POSTERIZE = 6,
+  AUG_CONTRAST = 7,
+  AUG_BRIGHTNESS = 8,
+  AUG_SHARPNESS = 9,
+  AUG_SHEAR_X = 10,
+  AUG_SHEAR_Y = 11,
+  AUG_TRANSLATE_X = 12,
+  AUG_TRANSLATE_Y = 13,
+};
+
+constexpr float kMaxLevel = 30.0f;
+
+inline uint8_t clamp_u8(float v) {
+  return (uint8_t)std::min(std::max(v, 0.0f), 255.0f);
+}
+
+// Inverse-mapped bilinear affine warp of one frame (center-relative map),
+// matching randaugment._affine: x0 = clip(floor(sx)), wx = clip(sx) - x0.
+// Weights in double — the numpy oracle blends float32 pixels with float64
+// weights, and fractional translates put every pixel near a .5 boundary.
+void warp_frame(const uint8_t* in, uint8_t* out, int H, int W, int C,
+                const double m[6]) {
+  const double cx = (W - 1) * 0.5, cy = (H - 1) * 0.5;
+  for (int yo = 0; yo < H; ++yo) {
+    const double y = yo - cy;
+    for (int xo = 0; xo < W; ++xo) {
+      const double x = xo - cx;
+      const double sx = m[0] * x + m[1] * y + m[2] + cx;
+      const double sy = m[3] * x + m[4] * y + m[5] + cy;
+      int x0 = (int)std::floor(sx);
+      int y0 = (int)std::floor(sy);
+      x0 = std::min(std::max(x0, 0), W - 1);
+      y0 = std::min(std::max(y0, 0), H - 1);
+      const int x1 = std::min(x0 + 1, W - 1);
+      const int y1 = std::min(y0 + 1, H - 1);
+      const double wx = std::min(std::max(sx, 0.0), (double)(W - 1)) - x0;
+      const double wy = std::min(std::max(sy, 0.0), (double)(H - 1)) - y0;
+      const uint8_t* p00 = in + ((size_t)y0 * W + x0) * C;
+      const uint8_t* p01 = in + ((size_t)y0 * W + x1) * C;
+      const uint8_t* p10 = in + ((size_t)y1 * W + x0) * C;
+      const uint8_t* p11 = in + ((size_t)y1 * W + x1) * C;
+      uint8_t* o = out + ((size_t)yo * W + xo) * C;
+      const double w00 = (1 - wx) * (1 - wy), w01 = wx * (1 - wy);
+      const double w10 = (1 - wx) * wy, w11 = wx * wy;
+      for (int c = 0; c < C; ++c) {
+        const double v = (float)p00[c] * w00 + (float)p01[c] * w01 +
+                         (float)p10[c] * w10 + (float)p11[c] * w11;
+        o[c] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
+      }
+    }
+  }
+}
+
+// blend(a, b, factor) = clip(b + factor * (a - b)) — LUT-able when b const.
+void apply_lut(uint8_t* clip, size_t n, int C, const uint8_t lut[][256],
+               int per_channel) {
+  for (size_t p = 0; p < n; ++p)
+    for (int c = 0; c < C; ++c) {
+      uint8_t* v = clip + p * C + c;
+      *v = lut[per_channel ? c : 0][*v];
+    }
+}
+
+extern "C" {
+
+// Apply ONE RandAugment op in place on a uint8 clip [T, H, W, C].
+// op: AugOp id (matches randaugment.OPS order); level/sign as in Python.
+void fv_augment_op(uint8_t* clip, int T, int H, int W, int C, int op,
+                   float level, float sign) {
+  const size_t frame_px = (size_t)H * W;
+  const size_t n_px = frame_px * T;
+  const float frac = level / kMaxLevel;
+
+  switch (op) {
+    case AUG_IDENTITY:
+      return;
+
+    case AUG_ROTATE:
+    case AUG_SHEAR_X:
+    case AUG_SHEAR_Y:
+    case AUG_TRANSLATE_X:
+    case AUG_TRANSLATE_Y: {
+      // expression order matches the Python oracle exactly (left-to-right)
+      // so the double results are bit-identical — bilinear weights sit on
+      // .5 truncation boundaries for fractional translates.
+      const double lvl = (double)level, sgn = (double)sign;
+      double m[6] = {1, 0, 0, 0, 1, 0};
+      if (op == AUG_ROTATE) {
+        // np.deg2rad(30.0 * level / 30) * sign
+        const double th = 30.0 * lvl / 30.0 * (3.14159265358979323846 / 180.0)
+                          * sgn;
+        const double c = std::cos(th), s = std::sin(th);
+        m[0] = c; m[1] = -s; m[3] = s; m[4] = c;
+      } else if (op == AUG_SHEAR_X) {
+        m[1] = 0.3 * lvl / 30.0 * sgn;
+      } else if (op == AUG_SHEAR_Y) {
+        m[3] = 0.3 * lvl / 30.0 * sgn;
+      } else if (op == AUG_TRANSLATE_X) {
+        m[2] = -((double)W * 0.45 * lvl / 30.0 * sgn);
+      } else {
+        m[5] = -((double)H * 0.45 * lvl / 30.0 * sgn);
+      }
+      std::vector<uint8_t> src(clip, clip + n_px * C);
+      run_threaded(T, [&](int f) {
+        warp_frame(src.data() + (size_t)f * frame_px * C,
+                   clip + (size_t)f * frame_px * C, H, W, C, m);
+      });
+      return;
+    }
+
+    case AUG_BRIGHTNESS: {
+      const float factor = 1.0f + 0.9f * frac * sign;
+      uint8_t lut[1][256];
+      for (int v = 0; v < 256; ++v) lut[0][v] = clamp_u8(factor * v);
+      apply_lut(clip, n_px, C, lut, 0);
+      return;
+    }
+
+    case AUG_CONTRAST: {
+      const float factor = 1.0f + 0.9f * frac * sign;
+      double sum = 0.0;
+      for (size_t i = 0; i < n_px * C; ++i) sum += clip[i];
+      const float mean = (float)(int)(sum / (double)(n_px * C));
+      uint8_t lut[1][256];
+      for (int v = 0; v < 256; ++v)
+        lut[0][v] = clamp_u8(mean + factor * (v - mean));
+      apply_lut(clip, n_px, C, lut, 0);
+      return;
+    }
+
+    case AUG_COLOR: {  // blend toward the per-pixel channel mean
+      const float factor = 1.0f + 0.9f * frac * sign;
+      run_threaded(T, [&](int f) {
+        uint8_t* fr = clip + (size_t)f * frame_px * C;
+        for (size_t p = 0; p < frame_px; ++p) {
+          uint8_t* px = fr + p * C;
+          float s = 0;
+          for (int c = 0; c < C; ++c) s += px[c];
+          const float gray = (float)(uint8_t)(s / C);  // numpy: astype(u8)
+          for (int c = 0; c < C; ++c)
+            px[c] = clamp_u8(gray + factor * (px[c] - gray));
+        }
+      });
+      return;
+    }
+
+    case AUG_SHARPNESS: {  // blend with PIL-SMOOTH 3x3 ([1..,5,..1]/13)
+      const float factor = 1.0f + 0.9f * frac * sign;
+      std::vector<uint8_t> src(clip, clip + n_px * C);
+      run_threaded(T, [&](int f) {
+        const uint8_t* in = src.data() + (size_t)f * frame_px * C;
+        uint8_t* out = clip + (size_t)f * frame_px * C;
+        for (int y = 0; y < H; ++y) {
+          const int ym = std::max(y - 1, 0), yp = std::min(y + 1, H - 1);
+          for (int x = 0; x < W; ++x) {
+            const int xm = std::max(x - 1, 0), xp = std::min(x + 1, W - 1);
+            for (int c = 0; c < C; ++c) {
+              const auto at = [&](int yy, int xx) -> float {
+                return in[((size_t)yy * W + xx) * C + c];
+              };
+              const float sm =
+                  (at(ym, xm) + at(ym, x) + at(ym, xp) + at(y, xm) +
+                   5.0f * at(y, x) + at(y, xp) + at(yp, xm) + at(yp, x) +
+                   at(yp, xp)) / 13.0f;
+              const float b = (float)clamp_u8(sm);  // numpy: clip+astype(u8)
+              const float a = at(y, x);
+              out[((size_t)y * W + x) * C + c] = clamp_u8(b + factor * (a - b));
+            }
+          }
+        }
+      });
+      return;
+    }
+
+    case AUG_POSTERIZE: {
+      const int bits = 8 - (int)(4.0f * frac);
+      const uint8_t mask = (uint8_t)(256 - (1 << (8 - bits)));
+      for (size_t i = 0; i < n_px * C; ++i) clip[i] &= mask;
+      return;
+    }
+
+    case AUG_SOLARIZE: {
+      const uint8_t threshold = (uint8_t)(255 - (int)(255.0f * frac));
+      for (size_t i = 0; i < n_px * C; ++i)
+        if (clip[i] >= threshold) clip[i] = 255 - clip[i];
+      return;
+    }
+
+    case AUG_AUTOCONTRAST: {  // per-channel min/max over the whole clip
+      std::vector<uint8_t> lo(C, 255), hi(C, 0);
+      for (size_t p = 0; p < n_px; ++p)
+        for (int c = 0; c < C; ++c) {
+          const uint8_t v = clip[p * C + c];
+          lo[c] = std::min(lo[c], v);
+          hi[c] = std::max(hi[c], v);
+        }
+      std::vector<std::array<uint8_t, 256>> lut(C);
+      for (int c = 0; c < C; ++c) {
+        const float scale = 255.0f / std::max((float)(hi[c] - lo[c]), 1.0f);
+        for (int v = 0; v < 256; ++v)
+          lut[c][v] = clamp_u8((v - lo[c]) * scale);
+      }
+      for (size_t p = 0; p < n_px; ++p)
+        for (int c = 0; c < C; ++c)
+          clip[p * C + c] = lut[c][clip[p * C + c]];
+      return;
+    }
+
+    case AUG_EQUALIZE: {  // PIL-style per-channel histogram equalization
+      for (int c = 0; c < C; ++c) {
+        int64_t hist[256] = {0};
+        for (size_t p = 0; p < n_px; ++p) ++hist[clip[p * C + c]];
+        int last_nonzero = -1;
+        int n_nonzero = 0;
+        int64_t total = 0;
+        for (int v = 0; v < 256; ++v) {
+          total += hist[v];
+          if (hist[v] > 0) { last_nonzero = v; ++n_nonzero; }
+        }
+        if (n_nonzero <= 1) continue;
+        const int64_t step = (total - hist[last_nonzero]) / 255;
+        if (step == 0) continue;
+        uint8_t lut[256];
+        int64_t cum = 0;
+        for (int v = 0; v < 256; ++v) {
+          const int64_t x = cum / step;  // (cumsum - hist) // step
+          lut[v] = (uint8_t)std::min<int64_t>(std::max<int64_t>(x, 0), 255);
+          cum += hist[v];
+        }
+        for (size_t p = 0; p < n_px; ++p)
+          clip[p * C + c] = lut[clip[p * C + c]];
+      }
+      return;
+    }
+
+    default:
+      return;  // unknown op: no-op (forward compatible)
   }
 }
 
