@@ -66,13 +66,24 @@ def main() -> None:
 
     import os
 
+    # optional variants (published in docs/KERNELS.md; the driver's default
+    # invocation keeps the honest flagship single-video @ text 512 number):
+    # DEEPCORO_BENCH_TEXT=<len>   realistic-report-length text tower
+    # DEEPCORO_BENCH_VIDEOS=<N>   multi-video study mode ([B, N, ...])
+    text_len = int(os.environ.get("DEEPCORO_BENCH_TEXT", text_len))
+    n_videos = int(os.environ.get("DEEPCORO_BENCH_VIDEOS", 1))
+
+    over = {}
+    if n_videos > 1:
+        over = dict(multi_video=True, num_videos=n_videos)
     if os.environ.get("DEEPCORO_BENCH_TINY"):  # CPU smoke of the harness
         from deepcoro_clip_tpu.flagship import tiny_config
 
-        cfg = tiny_config(batch_size=batch, max_text_length=32)
         text_len = 32
+        cfg = tiny_config(batch_size=batch, max_text_length=text_len, **over)
     else:
-        cfg = flagship_config(batch_size=batch, max_text_length=text_len)
+        cfg = flagship_config(batch_size=batch, max_text_length=text_len,
+                              **over)
     mesh = make_mesh(MeshSpec(data=jax.device_count(), model=1))
 
     bundle, state = build_clip_bundle(
@@ -84,9 +95,10 @@ def main() -> None:
     # production wire: uint8 pixels, normalized on-device (ops/pixels.py)
     host_batch = {
         "videos": r.integers(
-            0, 255, size=(batch, 1, cfg.frames, cfg.resize, cfg.resize, 3)
+            0, 255,
+            size=(batch, n_videos, cfg.frames, cfg.resize, cfg.resize, 3),
         ).astype(np.uint8),
-        "video_mask": np.ones((batch, 1), bool),
+        "video_mask": np.ones((batch, n_videos), bool),
         "input_ids": r.integers(0, cfg.text_vocab_size, size=(batch, text_len))
         .astype(np.int32),
         "attention_mask": np.ones((batch, text_len), np.int32),
@@ -154,14 +166,18 @@ def main() -> None:
     mfu = (flops / dt / TPU_V5E_BF16_PEAK) if flops else None
 
     n = max(1, jax.device_count())
-    clips_per_sec = batch / dt / n
+    clips_per_sec = batch * n_videos / dt / n
     record = {
         "metric": "clip_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / TARGET, 3),
-        "clips_per_sec_h2d": round(batch / dt_h2d / n, 2),
+        "clips_per_sec_h2d": round(batch * n_videos / dt_h2d / n, 2),
     }
+    if n_videos > 1:
+        record["num_videos"] = n_videos
+    if text_len != 512:
+        record["text_len"] = text_len
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
         record["step_tflops"] = round(flops / 1e12, 2)

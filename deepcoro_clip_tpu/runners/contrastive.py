@@ -457,11 +457,10 @@ class VideoContrastiveLearningRunner:
         v_embs: List[np.ndarray] = []
         texts: List[str] = []
         paths: List[str] = []
-        for batch in loader:
-            device_batch = self.bundle.batch_sharding_fn(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-            )
-            out = self.eval_step(self.state.params, device_batch)
+
+        def consume(batch, out):
+            # one-batch-delayed readback: the next eval dispatch is already
+            # in flight when these block (same pipelining as the train loop)
             losses.append(float(out["loss"]))
             n_real = len(batch["texts"]) if "texts" in batch else len(batch["paths"])
             v_embs.append(np.asarray(out["video_emb"], np.float32)[:n_real])
@@ -476,6 +475,18 @@ class VideoContrastiveLearningRunner:
             else:
                 texts.extend([[t] for t in batch["texts"]])
             paths.extend([p[0] for p in batch["paths"]])
+
+        pending = None
+        for batch in loader:
+            device_batch = self.bundle.batch_sharding_fn(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            )
+            out = self.eval_step(self.state.params, device_batch)
+            if pending is not None:
+                consume(*pending)
+            pending = (batch, out)
+        if pending is not None:
+            consume(*pending)
 
         if not v_embs:
             return {}
