@@ -1,0 +1,79 @@
+"""KV-cache incremental decoding must produce the same tokens as the
+static-recompute path (greedy_generate_kv hand-applies the decoder's param
+tree — any drift in layer names/shapes breaks it silently)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcoro_clip_tpu.models.captioning_decoder import (
+    CaptioningDecoder,
+    greedy_generate,
+    greedy_generate_kv,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dec = CaptioningDecoder(
+        vocab_size=64, dim=32, depth=2, num_heads=2, max_length=12,
+        dropout=0.0, use_flash=False,
+    )
+    r = jax.random.PRNGKey(0)
+    B, Lv, D = 2, 7, 32
+    video_tokens = jax.random.normal(jax.random.PRNGKey(1), (B, Lv, D))
+    ids = jnp.zeros((B, 12), jnp.int32)
+    params = dec.init({"params": r}, ids, video_tokens, deterministic=True)
+    return dec, params, video_tokens
+
+
+def test_greedy_parity(setup):
+    """Untrained logits have near-ties, so exact id equality is not a fair
+    oracle (fp reduction order flips argmax at ties). The property that
+    matters: every token the KV path picks must be a (near-)argmax of the
+    REAL module's logits for the same prefix — i.e. the hand-applied KV
+    computation matches the Flax forward numerically."""
+    dec, params, video_tokens = setup
+    b = np.asarray(greedy_generate_kv(dec, params, video_tokens,
+                                      bos_id=1, eos_id=2))
+    full = np.asarray(
+        dec.apply(params, jnp.asarray(b), video_tokens, deterministic=True)
+    )  # [B, L, V] logits for the kv path's own prefixes
+    B, L = b.shape
+    for i in range(B):
+        for t in range(L - 1):
+            nxt = b[i, t + 1]
+            if nxt == 0 and b[i, t] in (0, 2):  # finished padding
+                continue
+            gap = full[i, t].max() - full[i, t, nxt]
+            assert gap < 1e-3, (i, t, nxt, gap)
+
+
+def test_sampled_parity_same_rng(setup):
+    dec, params, video_tokens = setup
+    rng = jax.random.PRNGKey(7)
+    a = greedy_generate(dec, params, video_tokens, bos_id=1, eos_id=2,
+                        temperature=1.0, rng=rng)
+    b = greedy_generate_kv(dec, params, video_tokens, bos_id=1, eos_id=2,
+                          temperature=1.0, rng=rng)
+    # same rng stream + (near-)identical logits -> identical samples except
+    # at knife-edge logit ties; require exact here (fp32 both paths)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_recompute_path_also_near_argmax(setup):
+    """Symmetric sanity: the static-recompute path's picks satisfy the same
+    near-argmax property against the module forward (guards the test's own
+    oracle logic, and both paths against each other at tolerance)."""
+    dec, params, video_tokens = setup
+    a = np.asarray(greedy_generate(dec, params, video_tokens,
+                                   bos_id=1, eos_id=63))
+    full = np.asarray(
+        dec.apply(params, jnp.asarray(a), video_tokens, deterministic=True)
+    )
+    B, L = a.shape
+    for i in range(B):
+        for t in range(L - 1):
+            gap = full[i, t].max() - full[i, t, a[i, t + 1]]
+            assert gap < 1e-3, (i, t, a[i, t + 1], gap)
