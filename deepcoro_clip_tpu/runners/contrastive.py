@@ -337,6 +337,15 @@ class VideoContrastiveLearningRunner:
 
             if patience_left <= 0:
                 break
+        if self.config.is_ref_device:
+            # end-of-run plot panels into the run dir (the reference pushes
+            # these to W&B during training, utils/wandb_logger.py)
+            try:
+                from deepcoro_clip_tpu.utils.plot_metrics import plot_run_summary
+
+                plot_run_summary(self.output_dir)
+            except Exception:
+                pass
         return {"history": history, "best_epoch": self.best_epoch,
                 "best_val_loss": self.best_val_loss}
 

@@ -223,6 +223,14 @@ class LinearProbingRunner:
                     self.ckpt.save_best(self.state, epoch, meta)
             if patience_left <= 0:
                 break
+        if cfg.is_ref_device:
+            # end-of-run plot panels (reference wandb_logger role)
+            try:
+                from deepcoro_clip_tpu.utils.plot_metrics import plot_run_summary
+
+                plot_run_summary(self.output_dir)
+            except Exception:
+                pass
         return {"history": history, "best_epoch": self.best_epoch,
                 "best_val_loss": self.best_val_loss}
 
