@@ -346,6 +346,29 @@ def stage_report():
         "R@1 >= 4x chance and R@5 >= 0.5 — the learnability of the corpus and",
         "the end-to-end learning path are both pinned in CI.",
     ]
+    # retrieval-curve figure alongside the tables
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+        xs = list(range(len(hist)))
+        ax1.plot(xs, [h.get("loss") for h in hist], "o-", label="train loss")
+        ax1.plot(xs, [h.get("val_loss") for h in hist], "s-", label="val loss")
+        ax1.set_xlabel("epoch"); ax1.legend(); ax1.grid(alpha=0.3)
+        for k, mk in (("val_Recall@1", "o-"), ("val_Recall@5", "s-"),
+                      ("val_Recall@10", "^-")):
+            ax2.plot(xs, [h.get(k) for h in hist], mk, label=k[4:])
+        ax2.set_xlabel("epoch"); ax2.set_ylabel("recall")
+        ax2.legend(); ax2.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(REPO / "docs" / "quality_curves.png", dpi=120)
+        plt.close(fig)
+        lines += ["", "![training and retrieval curves](docs/quality_curves.png)"]
+    except Exception as e:  # pragma: no cover
+        print(f"figure skipped: {e}")
     (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
     print("QUALITY.md written")
 
