@@ -78,16 +78,11 @@ def _base_cfg(**over):
     return cfg
 
 
-def stage_train():
+def _write_train_config():
     import yaml
 
     from deepcoro_clip_tpu.flagship import flagship_config
-    from deepcoro_clip_tpu.main import main
-    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
 
-    setup_tpu_defaults()
-    ART.mkdir(parents=True, exist_ok=True)
-    # flagship model dims + corpus data knobs
     fc = flagship_config()
     over = _base_cfg(
         vit_dim=fc.vit_dim, vit_depth=fc.vit_depth, vit_heads=fc.vit_heads,
@@ -102,16 +97,109 @@ def stage_train():
     cfg_path = RUN_DIR / "train_config.yaml"
     RUN_DIR.mkdir(parents=True, exist_ok=True)
     yaml.safe_dump(over, cfg_path.open("w"))
+    return cfg_path, over
+
+
+def _existing_run_dir():
+    outs = sorted((RUN_DIR / "outputs").rglob("config.yaml"))
+    return outs[-1].parent if outs else None
+
+
+def _last_epoch(run_out) -> int:
+    meta_path = run_out / "checkpoints" / "checkpoint.json"
+    if meta_path.exists():
+        return int(json.loads(meta_path.read_text()).get("epoch", -1))
+    return -1
+
+
+def stage_train_chunk(start: int, end: int):
+    """One bounded training slice in THIS process (resume -> train -> exit).
+
+    The axon PJRT client leaks every H2D transfer buffer on the host
+    (~bytes-transferred; measured 46 MB/step at flagship batch 16, OOM at
+    ~2800 steps), so long runs must be chunked across processes."""
+    import yaml
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.registry import RunnerRegistry, register_all
+    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    register_all()
+    cfg_path = RUN_DIR / "train_config.yaml"
+    config = parse_config(["--base_config", str(cfg_path)])
+    run_out = _existing_run_dir()
+    if run_out is None:
+        from deepcoro_clip_tpu.utils.files import generate_output_dir_name
+
+        run_out = Path(generate_output_dir_name(config))
+        run_out.mkdir(parents=True, exist_ok=True)
+        (run_out / "config.yaml").write_text(cfg_path.read_text())
+    else:
+        config.resume_training = True
+        meta = run_out / "checkpoints" / "checkpoint.json"
+        if meta.exists():
+            m = json.loads(meta.read_text())
+            config.dataset_mean = m.get("dataset_mean")
+            config.dataset_std = m.get("dataset_std")
+    runner = RunnerRegistry.get(config.pipeline_project)(
+        config, output_dir=str(run_out)
+    )
+    s = max(start, runner.maybe_resume())
+    print(f"chunk: epochs [{s}, {end})", flush=True)
+    runner.train(s, end)
+
+
+def stage_train():
+    """Chunked flagship training: subprocess per CHUNK epochs (leak bound),
+    then assemble the full history from the run dir's metrics.jsonl."""
+    import subprocess
+
+    ART.mkdir(parents=True, exist_ok=True)
+    _write_train_config()
+    CHUNK = 2
     t0 = time.perf_counter()
-    result = main(["--base_config", str(cfg_path)])
+    while True:
+        run_out = _existing_run_dir()
+        done = _last_epoch(run_out) if run_out else -1
+        start = done + 1
+        if start >= EPOCHS:
+            break
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             f"train_chunk:{start}:{min(start + CHUNK, EPOCHS)}"],
+            cwd=str(REPO),
+        )
+        if r.returncode != 0:
+            new_done = _last_epoch(_existing_run_dir())
+            if new_done <= done:  # no forward progress -> give up
+                raise RuntimeError(f"train chunk failed at epoch {start}")
+            print(f"chunk exited rc={r.returncode}; progressed to "
+                  f"epoch {new_done}, continuing", flush=True)
+
+    # rebuild the per-epoch history from the run's metrics.jsonl
+    run_out = _existing_run_dir()
+    hist: dict = {}
+    for line in (run_out / "metrics.jsonl").read_text().splitlines():
+        d = json.loads(line)
+        step = d.get("step")
+        if any(k.startswith("train/") for k in d) and "train/loss" in d:
+            hist.setdefault(step, {})["loss"] = d["train/loss"]
+        if "val/loss" in d:
+            e = hist.setdefault(step, {})
+            for k, v in d.items():
+                if k.startswith("val/"):
+                    e["val_" + k[4:]] = v
+    history = [hist[e] | {"epoch": e} for e in sorted(hist) if "loss" in hist[e]]
     out = {
-        "history": result["history"],
+        "history": history,
         "wall_seconds": round(time.perf_counter() - t0, 1),
-        "config": {k: over[k] for k in ("epochs", "batch_size", "lr",
-                                        "max_text_length", "loss_name")},
+        "config": {"epochs": EPOCHS, "batch_size": BATCH, "lr": 1e-4,
+                   "max_text_length": TEXT_LEN, "loss_name": "contrastive"},
+        "note": "wall_seconds covers the resumed chunks of this invocation",
     }
     (ART / "train.json").write_text(json.dumps(out, default=float))
-    print("train done:", out["history"][-1])
+    print("train done:", history[-1] if history else "no history")
 
 
 def stage_tiers():
@@ -161,6 +249,21 @@ def stage_tiers():
 
 
 def stage_scaling():
+    """Orchestrate one subprocess per batch size (the axon client's H2D leak
+    is bytes-proportional; 300 steps x 3 lrs at B=32 alone leaks ~45 GB)."""
+    import subprocess
+
+    for B in (16, 32):
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             f"scaling_probe:{B}"],
+            cwd=str(REPO),
+        )
+        if r.returncode != 0:
+            print(f"scaling probe B={B} failed rc={r.returncode}", flush=True)
+
+
+def stage_scaling_probe(only_B: int):
     """lr x batch probes: fixed 300 steps on repeated real corpus batches;
     record the loss trajectory vs the ln(B) plateau.  lr is a RUNTIME
     hyperparameter (optax.inject_hyperparams) so all lrs at one batch size
@@ -185,8 +288,12 @@ def stage_scaling():
 
     setup_tpu_defaults()
     register_all()
-    results = {}
+    # merge into any prior probes (each batch size runs in its own process)
+    results = (json.loads((ART / "scaling.json").read_text())
+               if (ART / "scaling.json").exists() else {})
+    ART.mkdir(parents=True, exist_ok=True)
     probes = {16: (1e-4, 3e-4, 1e-3), 32: (1e-4, 1e-3)}
+    probes = {only_B: probes[only_B]}
     for B, lrs in probes.items():
         ds = VideoClipDataset(
             str(CORPUS / "data.csv"), split="train", frames=16, resize=224,
@@ -385,4 +492,10 @@ if __name__ == "__main__":
     names = sys.argv[1:] or ["corpus", "train", "tiers", "scaling", "report"]
     for n in names:
         print(f"=== stage {n} ===", flush=True)
-        STAGES[n]()
+        if n.startswith("train_chunk:"):
+            _, a, b = n.split(":")
+            stage_train_chunk(int(a), int(b))
+        elif n.startswith("scaling_probe:"):
+            stage_scaling_probe(int(n.split(":")[1]))
+        else:
+            STAGES[n]()
