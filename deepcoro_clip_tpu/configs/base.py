@@ -57,6 +57,11 @@ class BaseConfig:
     num_workers: int = 2
     debug: bool = False
     period: int = 1
+    # per-backbone-block gradient-norm metrics inside the jitted step
+    # (reference log_gradient_norms, utils/wandb_logger.py:491-510).
+    # ~20 extra tree-wide reductions per step (~5% step time) — off by
+    # default; per-tower norms are always logged.
+    log_layer_grad_norms: bool = False
     use_amp: bool = True  # on TPU: bf16 compute (no GradScaler needed)
     output_dir: str = "outputs"
     base_checkpoint_path: str = "outputs"

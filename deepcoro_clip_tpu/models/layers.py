@@ -192,15 +192,25 @@ class ProjectionHead(nn.Module):
 class _PatchProj(nn.Module):
     """Holds the patchify weights under the same names/shapes nn.Conv would
     (``kernel`` [pt,ph,pw,C,dim], ``bias`` [dim]) while applying them as a
-    plain matmul over space-to-depth patches."""
+    plain matmul over space-to-depth patches.
+
+    When ``pixel_mean/pixel_std`` are set and the incoming patches are raw
+    integer pixels, per-channel normalization is FOLDED INTO THE WEIGHTS:
+    ((x-m)/s)@W + b == x@(W/s) + (b - sum((m/s)·W)). The fold is exact in
+    fp32 and costs one tiny [K,dim] elementwise + reduction per step (fused
+    by XLA), so the batch never materializes as normalized f32 in HBM
+    (profiled 3.0 ms/step of convert+write at flagship B=16 otherwise)."""
 
     dim: int
     patch: Tuple[int, int, int]
     in_channels: int
     dtype: Dtype
+    pixel_mean: Optional[Tuple[float, ...]] = None
+    pixel_std: Optional[Tuple[float, ...]] = None
 
     @nn.compact
-    def __call__(self, patches):  # [B, L, pt*ph*pw*C]
+    def __call__(self, patches, fold_stats: bool = False):
+        # patches: [B, L, pt*ph*pw*C]
         pt, ph, pw = self.patch
         kernel = self.param(
             "kernel",
@@ -211,9 +221,24 @@ class _PatchProj(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.dim,),
                           jnp.float32)
         w = kernel.reshape(pt * ph * pw * self.in_channels, self.dim)
-        y = jnp.dot(patches, w.astype(self.dtype),
+        b = bias
+        if fold_stats:
+            C = self.in_channels
+            m = jnp.asarray(
+                self.pixel_mean if self.pixel_mean is not None else (0.0,) * C,
+                jnp.float32,
+            )
+            s = jnp.maximum(jnp.asarray(
+                self.pixel_std if self.pixel_std is not None else (1.0,) * C,
+                jnp.float32,
+            ), 1e-6)
+            inv = jnp.tile(1.0 / s, pt * ph * pw)[:, None]    # [K, 1]
+            mt = jnp.tile(m / s, pt * ph * pw)[:, None]       # [K, 1]
+            b = bias - jnp.sum(mt * w, axis=0)
+            w = w * inv
+        y = jnp.dot(patches.astype(self.dtype), w.astype(self.dtype),
                     preferred_element_type=self.dtype)
-        return y + bias.astype(self.dtype)
+        return y + b.astype(self.dtype)
 
 
 class PatchEmbed3D(nn.Module):
@@ -226,23 +251,38 @@ class PatchEmbed3D(nn.Module):
     exactly what nn.Conv(name="conv") would create, so checkpoints and
     param-group code see no difference. Replaces the reference's MViT
     conv_proj patchify (reference: models/video_encoder.py:232-253).
+
+    uint8 wire: integer inputs stay uint8 through the space-to-depth
+    transpose (1/4 the HBM traffic of transposing f32) and per-channel
+    dataset normalization folds into the projection weights (see
+    _PatchProj) — the reference normalizes on the host instead
+    (utils/video.py:278-288).
     """
 
     dim: int
     patch: Tuple[int, int, int] = (2, 16, 16)
     dtype: Dtype = jnp.bfloat16
+    pixel_mean: Optional[Tuple[float, ...]] = None
+    pixel_std: Optional[Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(self, x):
         pt, ph, pw = self.patch
         B, T, H, W, C = x.shape
+        is_raw = jnp.issubdtype(x.dtype, jnp.integer)
         if T % pt or H % ph or W % pw:  # pad right to a whole patch grid
             x = jnp.pad(x, ((0, 0), (0, -T % pt), (0, -H % ph),
                             (0, -W % pw), (0, 0)))
             T, H, W = x.shape[1:4]
         Tn, Hn, Wn = T // pt, H // ph, W // pw
         p = x.reshape(B, Tn, pt, Hn, ph, Wn, pw, C)
-        p = p.transpose(0, 1, 3, 5, 2, 4, 6, 7).astype(self.dtype)
+        p = p.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        if not is_raw:
+            p = p.astype(self.dtype)
         p = p.reshape(B, Tn * Hn * Wn, pt * ph * pw * C)
-        y = _PatchProj(self.dim, (pt, ph, pw), C, self.dtype, name="conv")(p)
+        y = _PatchProj(
+            self.dim, (pt, ph, pw), C, self.dtype,
+            pixel_mean=self.pixel_mean, pixel_std=self.pixel_std,
+            name="conv",
+        )(p, fold_stats=bool(is_raw))
         return y, (Tn, Hn, Wn)

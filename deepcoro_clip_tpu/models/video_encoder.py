@@ -61,10 +61,16 @@ class CoroViT(nn.Module):
     # axis; active only when the token count divides the ring-axis size)
     ring_mesh: Optional[object] = None
     ring_axis: str = "model"
+    # dataset pixel stats: folded into the patchify weights for raw uint8
+    # batches (models/layers.PatchEmbed3D)
+    pixel_mean: Optional[Tuple[float, ...]] = None
+    pixel_std: Optional[Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x, (T, H, W) = PatchEmbed3D(self.dim, tuple(self.patch), self.dtype,
+                                    pixel_mean=self.pixel_mean,
+                                    pixel_std=self.pixel_std,
                                     name="patch_embed")(x)
         B = x.shape[0]
         n_special = 1 if self.use_cls_token else 0
@@ -133,6 +139,8 @@ class VideoEncoder(nn.Module):
     use_flash: bool = True
     ring_mesh: Optional[object] = None
     ring_axis: str = "model"
+    pixel_mean: Optional[Tuple[float, ...]] = None
+    pixel_std: Optional[Tuple[float, ...]] = None
 
     def setup(self):
         self.backbone = CoroViT(
@@ -148,6 +156,8 @@ class VideoEncoder(nn.Module):
             use_flash=self.use_flash,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
+            pixel_mean=self.pixel_mean,
+            pixel_std=self.pixel_std,
         )
         self.proj = ProjectionHead(
             self.embedding_dim, dropout=self.dropout, dtype=self.dtype
@@ -318,4 +328,8 @@ def video_encoder_from_config(cfg, aggregate=None, per_video=None,
         use_flash=cfg.use_pallas_attention,
         ring_mesh=ring_mesh,
         ring_axis=getattr(cfg, "ring_axis", "model"),
+        pixel_mean=(tuple(cfg.dataset_mean)
+                    if getattr(cfg, "dataset_mean", None) else None),
+        pixel_std=(tuple(cfg.dataset_std)
+                   if getattr(cfg, "dataset_std", None) else None),
     )

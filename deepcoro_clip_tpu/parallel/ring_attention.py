@@ -187,7 +187,9 @@ def _rdma_shard_body(q, k, v, *, scale, axis_name, mesh_axes, n, interpret,
             pltpu.SemaphoreType.DMA((2,)),                # recv per slot
         ],
         compiler_params=pltpu.CompilerParams(
-            collective_id=collective_id,
+            # barrier semaphores (used only when the ring has >1 device)
+            # require a collective_id; Mosaic rejects one otherwise
+            collective_id=collective_id if n > 1 else None,
             has_side_effects=True,
         ),
         interpret=(

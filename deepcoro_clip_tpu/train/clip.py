@@ -232,9 +232,16 @@ def build_clip_bundle(
 def _forward_embeddings(bundle: ClipBundle, params, batch, rngs, deterministic):
     """Returns (v_emb, t_emb, tokens) — tokens is None unless the LocCa head
     needs the unpooled video tokens (one shared backbone pass either way)."""
-    videos = pixels.normalize_videos(
-        batch["videos"], *pixels.config_stats(bundle.config)
-    )
+    videos = batch["videos"]
+    if not jnp.issubdtype(videos.dtype, jnp.integer):
+        # float wire: host already normalized. Integer (uint8) batches go
+        # RAW into the model — the patchify transposes uint8 (1/4 the HBM
+        # traffic) and folds the dataset stats into its weights
+        # (models/layers._PatchProj; video_encoder_from_config passes
+        # cfg.dataset_mean/std), saving ~3 ms/step of f32 materialization.
+        videos = pixels.normalize_videos(
+            videos, *pixels.config_stats(bundle.config)
+        )
     tokens = None
     want_tokens = (
         bundle.locca_decoder is not None and "caption_ids" in batch
@@ -407,12 +414,14 @@ def make_train_step(bundle: ClipBundle):
             "alignment": alignment_score(out["video_emb"], out["text_emb"]),
             "grad_norm": optim_lib.global_norm(grads),
             # per-layer gradient norms (reference log_gradient_norms,
-            # utils/wandb_logger.py:491-510): per tower + per backbone block
+            # utils/wandb_logger.py:491-510): per tower always, per backbone
+            # block when cfg.log_layer_grad_norms (they cost ~5% step time)
             **{f"grad_norm_{k}": optim_lib.global_norm(v)
                for k, v in grads.items()
                if k in ("video_encoder", "text_encoder", "locca_decoder")},
-            **{f"grad_norm_video_{k}": optim_lib.global_norm(v)
-               for k, v in grads["video_encoder"].get("backbone", {}).items()},
+            **({f"grad_norm_video_{k}": optim_lib.global_norm(v)
+                for k, v in grads["video_encoder"].get("backbone", {}).items()}
+               if getattr(cfg, "log_layer_grad_norms", False) else {}),
             "video_emb_norm": jnp.mean(
                 jnp.linalg.norm(out["video_emb"].astype(jnp.float32), axis=-1)
             ),
