@@ -73,6 +73,7 @@ def _base_cfg(**over):
         ndcg_k=[5],
         early_stopping_patience=5,
         seed=SEED,
+        log_layer_grad_norms=True,  # freeze-bug class diagnostics
     )
     cfg.update(over)
     return cfg
