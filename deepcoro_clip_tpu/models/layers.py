@@ -220,8 +220,8 @@ class _PatchProj(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.dim,),
                           jnp.float32)
-        w = kernel.reshape(pt * ph * pw * self.in_channels, self.dim)
         b = bias
+        w = kernel
         if fold_stats:
             C = self.in_channels
             m = jnp.asarray(
@@ -232,13 +232,26 @@ class _PatchProj(nn.Module):
                 self.pixel_std if self.pixel_std is not None else (1.0,) * C,
                 jnp.float32,
             ), 1e-6)
-            inv = jnp.tile(1.0 / s, pt * ph * pw)[:, None]    # [K, 1]
-            mt = jnp.tile(m / s, pt * ph * pw)[:, None]       # [K, 1]
-            b = bias - jnp.sum(mt * w, axis=0)
-            w = w * inv
-        y = jnp.dot(patches.astype(self.dtype), w.astype(self.dtype),
-                    preferred_element_type=self.dtype)
-        return y + b.astype(self.dtype)
+            # fold (x-m)/s into kernel/bias along the channel axis
+            b = bias - jnp.einsum("c,thwcd->d", m / s, kernel)
+            w = kernel / s[None, None, None, :, None]
+        if patches.ndim == 3:  # pre-flattened [B, L, pt*ph*pw*C]
+            w2 = w.reshape(pt * ph * pw * self.in_channels, self.dim)
+            y = jnp.dot(patches.astype(self.dtype), w2.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+            return y + b.astype(self.dtype)
+        # unpermuted patch grid [B, Tn, pt, Hn, ph, Wn, pw, C]: contract the
+        # scattered (pt, ph, pw, C) axes directly. XLA still schedules its
+        # own operand copy (measured equal to an explicit transpose at
+        # flagship shapes), but the intent is in one dot_general and any
+        # future layout-aware lowering gets the whole pattern.
+        y = jax.lax.dot_general(
+            patches.astype(self.dtype), w.astype(self.dtype),
+            dimension_numbers=(((2, 4, 6, 7), (0, 1, 2, 3)), ((), ())),
+            preferred_element_type=self.dtype,
+        )  # [B, Tn, Hn, Wn, dim]
+        B, Tn, Hn, Wn, _ = y.shape
+        return y.reshape(B, Tn * Hn * Wn, self.dim) + b.astype(self.dtype)
 
 
 class PatchEmbed3D(nn.Module):
@@ -276,10 +289,6 @@ class PatchEmbed3D(nn.Module):
             T, H, W = x.shape[1:4]
         Tn, Hn, Wn = T // pt, H // ph, W // pw
         p = x.reshape(B, Tn, pt, Hn, ph, Wn, pw, C)
-        p = p.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-        if not is_raw:
-            p = p.astype(self.dtype)
-        p = p.reshape(B, Tn * Hn * Wn, pt * ph * pw * C)
         y = _PatchProj(
             self.dim, (pt, ph, pw), C, self.dtype,
             pixel_mean=self.pixel_mean, pixel_std=self.pixel_std,
