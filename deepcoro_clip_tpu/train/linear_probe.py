@@ -196,9 +196,11 @@ def build_probe_bundle(
 
 def forward_heads(bundle: ProbeBundle, params, batch, rngs, deterministic=True):
     cfg = bundle.config
-    videos = pixels.normalize_videos(
-        batch["videos"], *pixels.config_stats(cfg)
-    )
+    videos = batch["videos"]
+    if not jnp.issubdtype(videos.dtype, jnp.integer):
+        # uint8 wire goes RAW: the patchify folds the dataset stats into
+        # its weights (models/layers._PatchProj; see train/clip.py)
+        videos = pixels.normalize_videos(videos, *pixels.config_stats(cfg))
     emb = bundle.video_model.apply(
         {"params": params["video_encoder"]}, videos,
         deterministic=deterministic or cfg.video_freeze_ratio >= 1.0,

@@ -185,9 +185,11 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
     """All three task losses from one backbone pass."""
     cfg = bundle.config
     rngs = {"dropout": rng} if rng is not None else None
-    videos = pixels.normalize_videos(
-        batch["videos"], *pixels.config_stats(cfg)
-    )
+    videos = batch["videos"]
+    if not jnp.issubdtype(videos.dtype, jnp.integer):
+        # uint8 wire goes RAW: the patchify folds the dataset stats into
+        # its weights (models/layers._PatchProj; see train/clip.py)
+        videos = pixels.normalize_videos(videos, *pixels.config_stats(cfg))
     feats = bundle.video_model.apply(
         {"params": params["video_encoder"]}, videos,
         video_mask=batch.get("video_mask"), deterministic=deterministic,
