@@ -204,7 +204,12 @@ def get_tokenizer(
     vocab = find_local_vocab(name)
     if vocab:
         try:
-            return WordPieceTokenizer(vocab, max_length=max_length)
+            tok = WordPieceTokenizer(vocab, max_length=max_length)
+            # the embedding table is sized by ``vocab_size``; a vocab file
+            # larger than the model's table would emit out-of-range ids
+            # (tiny test configs), so only use it when it fits
+            if tok.vocab_size <= vocab_size:
+                return tok
         except Exception:  # pragma: no cover - malformed vocab file
             pass
     return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
