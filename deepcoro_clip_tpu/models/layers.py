@@ -235,11 +235,6 @@ class _PatchProj(nn.Module):
             # fold (x-m)/s into kernel/bias along the channel axis
             b = bias - jnp.einsum("c,thwcd->d", m / s, kernel)
             w = kernel / s[None, None, None, :, None]
-        if patches.ndim == 3:  # pre-flattened [B, L, pt*ph*pw*C]
-            w2 = w.reshape(pt * ph * pw * self.in_channels, self.dim)
-            y = jnp.dot(patches.astype(self.dtype), w2.astype(self.dtype),
-                        preferred_element_type=self.dtype)
-            return y + b.astype(self.dtype)
         # unpermuted patch grid [B, Tn, pt, Hn, ph, Wn, pw, C]: contract the
         # scattered (pt, ph, pw, C) axes directly. XLA still schedules its
         # own operand copy (measured equal to an explicit transpose at
@@ -284,6 +279,14 @@ class PatchEmbed3D(nn.Module):
         B, T, H, W, C = x.shape
         is_raw = jnp.issubdtype(x.dtype, jnp.integer)
         if T % pt or H % ph or W % pw:  # pad right to a whole patch grid
+            if is_raw and self.pixel_mean is not None:
+                # normalize BEFORE padding so zero padding means "dataset
+                # mean" on the uint8 wire exactly as it does on the float
+                # wire (raw-zero padding would normalize to -mean/std)
+                m = jnp.asarray(self.pixel_mean, jnp.float32)
+                s = jnp.maximum(jnp.asarray(self.pixel_std, jnp.float32), 1e-6)
+                x = (x.astype(jnp.float32) - m) / s
+                is_raw = False
             x = jnp.pad(x, ((0, 0), (0, -T % pt), (0, -H % ph),
                             (0, -W % pw), (0, 0)))
             T, H, W = x.shape[1:4]

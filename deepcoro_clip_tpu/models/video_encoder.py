@@ -306,7 +306,10 @@ def video_encoder_from_config(cfg, aggregate=None, per_video=None,
     """Build from a ClipConfig/LinearProbingConfig (field parity with the
     reference constructor args). ``ring_mesh``: enable ring (sequence-
     parallel) backbone attention over the mesh's ring axis."""
+    from deepcoro_clip_tpu.ops.pixels import config_stats
+
     arch = resolve_architecture(cfg)
+    _cfg_mean, _cfg_std = config_stats(cfg)
     return VideoEncoder(
         embedding_dim=cfg.embedding_dim,
         backbone_dim=arch["vit_dim"],
@@ -328,8 +331,9 @@ def video_encoder_from_config(cfg, aggregate=None, per_video=None,
         use_flash=cfg.use_pallas_attention,
         ring_mesh=ring_mesh,
         ring_axis=getattr(cfg, "ring_axis", "model"),
-        pixel_mean=(tuple(cfg.dataset_mean)
-                    if getattr(cfg, "dataset_mean", None) else None),
-        pixel_std=(tuple(cfg.dataset_std)
-                   if getattr(cfg, "dataset_std", None) else None),
+        # resolve stats exactly like the float wire (ops/pixels.config_stats
+        # accepts legacy data_mean/data_std too) so both wires normalize
+        # identically whichever field the config carries
+        pixel_mean=(tuple(_cfg_mean) if _cfg_mean else None),
+        pixel_std=(tuple(_cfg_std) if _cfg_std else None),
     )

@@ -86,7 +86,7 @@ def _ring_body(q, k, v, scale: float, axis_name: str):
 
 
 def _rdma_ring_kernel(q_ref, k_ref, v_ref, o_ref, kv_ref, send_sem, recv_sem,
-                      *, n, scale, axis_name, mesh_axes):
+                      *, n, scale, axis_name):
     """One device's whole ring pass. Shapes (all VMEM-resident):
     q/k/v [BH, Lc, Dh]; kv scratch [2 slots, 2 (k|v), BH, Lc, Dh].
 
@@ -167,7 +167,7 @@ def _rdma_ring_kernel(q_ref, k_ref, v_ref, o_ref, kv_ref, send_sem, recv_sem,
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _rdma_shard_body(q, k, v, *, scale, axis_name, mesh_axes, n, interpret,
+def _rdma_shard_body(q, k, v, *, scale, axis_name, n, interpret,
                      collective_id):
     """Inside shard_map: q/k/v are the local [B, H, Lc, Dh] shards."""
     B, H, Lc, Dh = q.shape
@@ -176,7 +176,6 @@ def _rdma_shard_body(q, k, v, *, scale, axis_name, mesh_axes, n, interpret,
     v3 = v.reshape(B * H, Lc, Dh)
     kernel = functools.partial(
         _rdma_ring_kernel, n=n, scale=scale, axis_name=axis_name,
-        mesh_axes=mesh_axes,
     )
     out = pl.pallas_call(
         kernel,
@@ -238,8 +237,7 @@ def ring_attention(
     n = mesh.shape[axis]
     rdma_fn = _shard_map(
         functools.partial(
-            _rdma_shard_body, scale=scale_v, axis_name=axis,
-            mesh_axes=tuple(mesh.axis_names), n=n,
+            _rdma_shard_body, scale=scale_v, axis_name=axis, n=n,
             interpret=(backend == "rdma_interpret"),
             collective_id=collective_id,
         ),

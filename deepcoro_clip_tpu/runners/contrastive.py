@@ -21,6 +21,7 @@ variable-size gathers; orbax checkpoints.
 from __future__ import annotations
 
 import math
+import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -286,7 +287,9 @@ class VideoContrastiveLearningRunner:
                 epoch, cfg.epochs, cfg.text_freeze_ratio, cfg.text_freeze_schedule
             )
 
+            t_epoch = time.perf_counter()
             train_metrics = self._run_train_epoch(epoch, temp, vfr, tfr)
+            train_metrics["epoch_seconds"] = time.perf_counter() - t_epoch
             self.logger.log({f"train/{k}": v for k, v in train_metrics.items()},
                             step=epoch)
 
@@ -370,12 +373,21 @@ class VideoContrastiveLearningRunner:
             i, batch, device_batch, metrics = entry
             loss = float(metrics["loss"])  # blocks; device is already busy
             if not math.isfinite(loss):
+                # The pipelined loop has already dispatched step i+1 when
+                # step i's metrics are read, so self.state is TWO optimizer
+                # updates past the last-known-finite state and its params are
+                # likely NaN-poisoned. Save it under a debug name only —
+                # resume must fall back to the last epoch checkpoint.
                 if self.config.is_ref_device:
-                    self.ckpt.save_latest(self.state, {"epoch": epoch,
-                                                       "nan_loss_at_step": i})
+                    self.ckpt.save_debug(
+                        "nan_debug", self.state,
+                        {"epoch": epoch, "nan_loss_at_step": i,
+                         "state_steps_past_failure": 2},
+                    )
                 raise NonFiniteLossError(
                     f"non-finite loss {loss} at epoch {epoch} step {i} "
-                    "(checkpoint state is one step past the failure)"
+                    "(nan_debug snapshot is two steps past the failure; "
+                    "resume uses the last epoch checkpoint)"
                 )
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
@@ -445,6 +457,10 @@ class VideoContrastiveLearningRunner:
             int(self.state.step),
             records,
             header={
+                # the pipelined loop means these params are ONE optimizer
+                # step ahead of the step whose loss/grad metrics follow
+                "params_step": int(self.state.step),
+                "metrics_step": int(self.state.step) - 1,
                 "loss": metrics["loss"],
                 "temperature": metrics["temperature"],
                 "logit_bias": bias,

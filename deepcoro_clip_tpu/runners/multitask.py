@@ -198,14 +198,20 @@ class MultitaskRunner:
                 i, metrics = entry
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
-                    # NaN save-and-raise (reference :478-492); state is one
-                    # step past the failure (pipelined loop)
+                    # NaN save-and-raise (reference :478-492). The pipelined
+                    # loop makes self.state two updates past the failure and
+                    # likely NaN-poisoned — keep it out of the resumable
+                    # checkpoint tree.
                     if cfg.is_ref_device:
-                        self.ckpt.save_latest(
-                            self.state, {"epoch": epoch, "nan_loss_at_step": i}
+                        self.ckpt.save_debug(
+                            "nan_debug", self.state,
+                            {"epoch": epoch, "nan_loss_at_step": i,
+                             "state_steps_past_failure": 2},
                         )
                     raise NonFiniteLossError(
-                        f"non-finite loss {loss} at epoch {epoch} step {i}"
+                        f"non-finite loss {loss} at epoch {epoch} step {i} "
+                        "(nan_debug snapshot; resume uses the last epoch "
+                        "checkpoint)"
                     )
                 for k, v in metrics.items():
                     agg[k] = agg.get(k, 0.0) + float(v)

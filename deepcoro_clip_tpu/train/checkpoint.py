@@ -61,6 +61,12 @@ class CheckpointManager:
     def save_latest(self, state: Any, meta: Dict[str, Any]) -> Path:
         return self._save("checkpoint", state, meta)
 
+    def save_debug(self, name: str, state: Any, meta: Dict[str, Any]) -> Path:
+        """Diagnostic snapshot under its own name — never touches the
+        resumable ``checkpoint`` tree (a NaN-poisoned state must not become
+        the resume target)."""
+        return self._save(name, state, meta)
+
     def save_best(self, state: Any, epoch: int, meta: Dict[str, Any]) -> Path:
         name = f"best_model_epoch_{epoch}"
         path = self._save(name, state, meta)

@@ -46,6 +46,10 @@ class _Ckpt:
     def save_latest(self, state, extra):
         self.saved.append(extra)
 
+    def save_debug(self, name, state, extra):
+        # NaN snapshots go under a debug name, never the resumable tree
+        self.saved.append(extra)
+
 
 class _Logger:
     def __init__(self):
