@@ -27,9 +27,21 @@ import pandas as pd
 from deepcoro_clip_tpu.data.csv_utils import read_csv_with_fallback
 from deepcoro_clip_tpu.data.datasets import VideoClipDataset
 
-# reference severity ladder (config/clip/siglip_*.yaml: normal 1.0 ->
-# severe/critical/cto up to 10.0)
+# the reference's in-code default ladder (dataloaders/siglip_support.py:
+# 130-137); steeper ladders (e.g. severe 8.0) arrive via the
+# siglip_positive_severity_weights config override, exactly as in the
+# reference YAMLs (config/clip/dev_deep_coro_clip_single_video_siglip.yaml:85)
 DEFAULT_SEVERITY_WEIGHTS: Dict[str, float] = {
+    "normal": 0.75,
+    "mild": 1.25,
+    "moderate": 1.75,
+    "severe": 2.5,
+    "critical": 2.5,
+    "cto": 2.5,
+}
+# steeper ladder for report-level loss emphasis (multitask stenosis-aware
+# sample weighting) — a framework knob, not the SigLIP pair-weight default
+REPORT_SEVERITY_WEIGHTS: Dict[str, float] = {
     "normal": 1.0,
     "minimal": 1.5,
     "mild": 2.0,
@@ -39,6 +51,8 @@ DEFAULT_SEVERITY_WEIGHTS: Dict[str, float] = {
     "cto": 10.0,
 }
 ABNORMAL_SEVERITIES = {"moderate", "severe", "critical", "cto"}
+_ABNORMAL_CATEGORIES = {"stenosis", "in_stent", "thrombus", "calcification",
+                        "cto", "medina"}
 
 
 class SiglipResources:
@@ -79,12 +93,19 @@ class SiglipResources:
             tree = self._norm(row.get("tree"))
             segment = self._norm(row.get("segment"))
             severity = self._norm(row.get("disease_severity"))
+            try:
+                soft_w = float(row.get("soft_weight", 1.0))
+            except (TypeError, ValueError):
+                soft_w = 1.0
             self.meta_by_id[tid] = {
                 "tree": tree, "segment": segment, "severity": severity,
-                # optional specificity columns (reference TextMetadata)
+                # optional specificity columns (reference TextMetadata,
+                # utils/siglip/single_head_sampler.py:35-52)
                 "bin": self._norm(row.get("bin")),
                 "category": self._norm(row.get("category")),
                 "stent": self._norm(row.get("stent")),
+                "prompt_bucket": self._norm(row.get("prompt_bucket")),
+                "soft_weight": soft_w if np.isfinite(soft_w) else 1.0,
             }
             self.all_text_ids.append(tid)
             if segment:
@@ -115,12 +136,45 @@ class SiglipResources:
 
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _meta_is_abnormal(meta: Dict) -> bool:
+        """reference _is_abnormal (dataloaders/siglip_support.py:581-592)."""
+        if (meta.get("category") or "").lower() in _ABNORMAL_CATEGORIES:
+            return True
+        if (meta.get("prompt_bucket") or "").lower() == "abnormal":
+            return True
+        return (meta.get("severity") or "").lower() not in {"", "normal"}
+
     def pair_weight(self, text_id: str, edge_weight: float) -> float:
-        """edge weight x severity weight (reference :592-629)."""
+        """soft_weight x edge_weight x severity scale, with the reference's
+        floors — abnormal prompts never down-weighted, normal clamped to
+        [0.5, 1.0], mild>=1.0, moderate>=1.5, severe>=2.0 (reference
+        _compute_positive_weight, dataloaders/siglip_support.py:592-629)."""
+        try:
+            edge = float(edge_weight or 1.0)
+        except (TypeError, ValueError):
+            edge = 1.0
         if not self.enable_severity_weighting:
-            return edge_weight
-        sev = self.meta_by_id.get(text_id, {}).get("severity")
-        return edge_weight * self.severity_weights.get(sev or "normal", 1.0)
+            return edge
+        meta = self.meta_by_id.get(text_id)
+        if meta is None:
+            return edge
+        label = self._severity_label(meta)
+        scale = self.severity_weights.get(label, 1.0)
+        if self._meta_is_abnormal(meta):
+            scale = max(scale, 1.0)
+        else:
+            scale = min(scale, self.severity_weights.get("mild", scale))
+        combined = float(meta.get("soft_weight") or 1.0) * edge * scale
+        if label == "normal":
+            combined = min(max(combined, 0.5), 1.0)
+        elif label == "mild":
+            combined = max(combined, 1.0)
+        elif label == "moderate":
+            combined = max(combined, 1.5)
+        elif label == "severe":
+            combined = max(combined, 2.0)
+        return float(max(combined, 1e-6))
 
     _SEVERITY_RANK = {"critical": 0, "cto": 0, "severe": 0,
                       "moderate": 1, "mild": 2, "normal": 3}

@@ -181,16 +181,24 @@ def siglip_multi_positive_loss(
     if positive_weights is not None:
         w = w * jnp.where(pos > 0, positive_weights.astype(jnp.float32), 1.0)
     if auto_balance:
-        n_pos = jnp.maximum(pos.sum(), 1.0)
-        n_neg = jnp.maximum((1.0 - pos).sum(), 1.0)
-        w = w * jnp.where(pos > 0, (n_pos + n_neg) / (2.0 * n_pos),
-                          (n_pos + n_neg) / (2.0 * n_neg))
-    if text_valid is not None:
-        w = w * text_valid.astype(jnp.float32)[None, :]
-    if sample_mask is not None:
-        w = w * sample_mask.astype(jnp.float32)[:, None]
+        # per-ROW neg/pos ratio, clamped >= 1, REPLACES the positive weight
+        # (reference :293-300: positive_contrib = ratio.expand_as(logits))
+        n_pos = jnp.maximum(pos.sum(axis=1, keepdims=True), 1.0)
+        n_neg = pos.shape[1] - n_pos
+        ratio = jnp.maximum(n_neg / n_pos, 1.0)
+        w = jnp.where(pos > 0, jnp.broadcast_to(ratio, w.shape),
+                      negative_loss_weight)
 
-    loss = jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1.0)
+    # validity of padded slots is separate from the weights: the reference
+    # reduces by the PAIR COUNT (BCE reduction="mean", :301-303), not the
+    # weight sum — here the count of VALID pairs, identical when unpadded
+    valid = jnp.ones_like(per_pair)
+    if text_valid is not None:
+        valid = valid * text_valid.astype(jnp.float32)[None, :]
+    if sample_mask is not None:
+        valid = valid * sample_mask.astype(jnp.float32)[:, None]
+
+    loss = jnp.sum(per_pair * w * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     loss = loss + entropy_regularization(
         logits, entropy_reg_weight, col_mask=text_valid
     )

@@ -46,7 +46,9 @@ def rmse_loss(pred, target, sample_mask=None, **kw):
 
 
 @LossRegistry.register("huber")
-def huber_loss(pred, target, delta: float = 1.0, sample_mask=None, **kw):
+def huber_loss(pred, target, delta: float = 0.1, sample_mask=None, **kw):
+    """delta default matches the reference HuberLoss
+    (utils/loss/losses.py:347-358)."""
     err = pred.astype(jnp.float32) - target
     abs_err = jnp.abs(err)
     quad = jnp.minimum(abs_err, delta)

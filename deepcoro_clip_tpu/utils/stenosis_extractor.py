@@ -173,9 +173,9 @@ class StenosisExtractor:
         """Scalar loss weight for a report = max per-segment severity weight
         (the multitask stenosis-aware weighting,
         utils/loss/multitask_loss.py:165-230)."""
-        from deepcoro_clip_tpu.data.siglip import DEFAULT_SEVERITY_WEIGHTS
+        from deepcoro_clip_tpu.data.siglip import REPORT_SEVERITY_WEIGHTS
 
-        weights = weights or DEFAULT_SEVERITY_WEIGHTS
+        weights = weights or REPORT_SEVERITY_WEIGHTS
         w = 1.0
         for f in self.extract(text).values():
             sev = "cto" if f.cto else f.severity

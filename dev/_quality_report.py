@@ -1,0 +1,186 @@
+"""QUALITY.md writer for the v2 multi-seed quality runs (dev/quality_run.py).
+
+Collects artifacts from every `.quality_run_v2_s*` seed directory (plus the
+round-2 `.quality_run` scaling probes, which are recipe-identical) and writes
+a single report: primary-seed convergence curve with per-epoch wall time,
+cross-seed variance, difficulty tiers incl. the 3-findings OOD corpus, and
+the ln(B)-plateau scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+
+def _load(p: Path):
+    return json.loads(p.read_text()) if p.exists() else {}
+
+
+def write_report(repo: Path, n_train: int, n_val: int, batch: int,
+                 text_len: int) -> None:
+    runs = {}
+    for d in sorted(repo.glob(".quality_run_v2_s*")):
+        seed = d.name.rsplit("_s", 1)[-1]
+        tj = d / "artifacts" / "train.json"
+        if tj.exists():
+            runs[seed] = {
+                "train": _load(tj),
+                "tiers": _load(d / "artifacts" / "tiers.json"),
+                "scaling": _load(d / "artifacts" / "scaling.json"),
+            }
+    if not runs:
+        raise SystemExit("no .quality_run_v2_s*/artifacts/train.json found")
+    primary = "0" if "0" in runs else sorted(runs)[0]
+    train = runs[primary]["train"]
+    hist = train["history"]
+    tiers = runs[primary]["tiers"]
+    scaling = runs[primary]["scaling"] or _load(
+        repo / ".quality_run" / "artifacts" / "scaling.json")
+    tok = train.get("config", {}).get("tokenizer", "unknown")
+    epochs_run = len(hist)
+    cfg_epochs = train.get("config", {}).get("epochs", epochs_run)
+    sec = [h.get("epoch_seconds") for h in hist if h.get("epoch_seconds")]
+    epoch_time = f"{sum(sec) / len(sec):.0f}" if sec else "n/a"
+
+    lines = [
+        "# QUALITY — retrieval quality evidence (synthetic-at-scale, v2)",
+        "",
+        "Real angiography data is unavailable in this environment; this is the",
+        "strongest available proxy for the BASELINE retrieval-R@1 target: the",
+        "flagship recipe trained END-TO-END through the real runner on a",
+        f"procedurally generated compositional corpus ({n_train} train /",
+        f"{n_val} val clips, 224x16, 8 segments x 6 severities, <=2 findings",
+        "per video; see `deepcoro_clip_tpu/data/synthetic_angio.py`).",
+        "Validation videos are UNSEEN (fresh backgrounds/phases); retrieval is",
+        "scored against the deduped report bank, multi-positive-correct.",
+        "",
+        f"Run: flagship CoroViT + BERT-base, batch {batch}, lr 1e-4,",
+        f"cosine_with_warmup, bf16, text length {text_len} (reports are",
+        "short; the throughput bench keeps the honest 512), uint8 H2D wire,",
+        f"scheduled {cfg_epochs} epochs (early-stop patience 5) on one TPU",
+        f"v5e chip. **Tokenizer: {tok}** (real WordPiece vocabulary from",
+        "`assets/vocab.txt` — reversible decode; the round-2 hash-fallback",
+        "numbers are superseded).",
+        "",
+        f"## Training curve (seed {primary}, per epoch)",
+        "",
+        "| epoch | train loss | val loss | R@1 | R@5 | R@10 | MedianRank | wall s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for i, h in enumerate(hist):
+        es = h.get("epoch_seconds")
+        lines.append(
+            f"| {i} | {h.get('loss', float('nan')):.4f} "
+            f"| {h.get('val_loss', float('nan')):.4f} "
+            f"| {h.get('val_Recall@1', float('nan')):.3f} "
+            f"| {h.get('val_Recall@5', float('nan')):.3f} "
+            f"| {h.get('val_Recall@10', float('nan')):.3f} "
+            f"| {h.get('val_MedianRank', float('nan')):.1f} "
+            f"| {es:.0f} |" if es else
+            f"| {i} | {h.get('loss', float('nan')):.4f} "
+            f"| {h.get('val_loss', float('nan')):.4f} "
+            f"| {h.get('val_Recall@1', float('nan')):.3f} "
+            f"| {h.get('val_Recall@5', float('nan')):.3f} "
+            f"| {h.get('val_Recall@10', float('nan')):.3f} "
+            f"| {h.get('val_MedianRank', float('nan')):.1f} | n/a |"
+        )
+    lines += [
+        "",
+        f"Wall time: {train['wall_seconds']} s for {epochs_run} epochs "
+        f"(~{epoch_time} s/epoch train incl. per-epoch validation; includes "
+        "compile in epoch 0's chunk).",
+        "",
+    ]
+    if len(runs) > 1:
+        lines += [
+            "## Seed variance (same corpus, independent init + data order)",
+            "",
+            "| seed | epochs | best R@1 | final R@1 | final R@5 | final MedR |",
+            "|---|---|---|---|---|---|",
+        ]
+        for seed in sorted(runs):
+            h = runs[seed]["train"]["history"]
+            best_r1 = max((x.get("val_Recall@1", 0.0) for x in h), default=0.0)
+            last = h[-1] if h else {}
+            lines.append(
+                f"| {seed} | {len(h)} | {best_r1:.3f} "
+                f"| {last.get('val_Recall@1', float('nan')):.3f} "
+                f"| {last.get('val_Recall@5', float('nan')):.3f} "
+                f"| {last.get('val_MedianRank', float('nan')):.1f} |"
+            )
+        lines.append("")
+    if tiers:
+        lines += [
+            "## Difficulty tiers (primary-seed best checkpoint)",
+            "",
+            "The 3-findings tier is OUT-OF-DISTRIBUTION: a fresh val-only",
+            "corpus (seed 7) whose videos carry exactly three findings —",
+            "training never saw more than two.",
+            "",
+            "| tier | R@1 | R@5 | R@10 | MedianRank |", "|---|---|---|---|---|",
+        ]
+        for tier, m in tiers.items():
+            lines.append(
+                f"| {tier} | {m.get('Recall@1', float('nan')):.3f} "
+                f"| {m.get('Recall@5', float('nan')):.3f} "
+                f"| {m.get('Recall@10', float('nan')):.3f} "
+                f"| {m.get('MedianRank', float('nan')):.1f} |"
+            )
+        lines.append("")
+    if scaling:
+        lines += [
+            "## lr x recipe scaling probes (300 steps, fixed real batches)",
+            "",
+            "The round-1 finding: from-scratch contrastive training pins at the",
+            "uniform-logits plateau (loss = ln(B), grads collapse ~8 -> 0.03",
+            "within ~10 steps). `recipe_*` rows run the SHIPPED train step",
+            "(cosine_with_warmup, max_grad_norm 1.0, text tower at text_lr,",
+            "dropout); `B*` rows are the guardrail ablation (bare constant-lr",
+            "AdamW, no clipping, no warmup, uniform lr) — which pins at the",
+            "plateau even at lr 1e-4, showing the recipe's guardrails, not",
+            "just the lr value, are what escape it:",
+            "",
+            "| probe | final loss | ln(B) | escaped plateau |",
+            "|---|---|---|---|",
+        ]
+        for k, v in scaling.items():
+            lines.append(f"| {k} | {v['final']:.4f} | {v['ln_B']:.3f} "
+                         f"| {'yes' if v['escaped_plateau'] else 'NO'} |")
+        lines.append("")
+    lines += [
+        "## Regression guard",
+        "",
+        "`tests/runners/test_quality_regression.py` trains the tiny recipe on",
+        "the same corpus generator (CPU, ~60 s) and asserts unseen-video",
+        "R@1 >= 4x chance and R@5 >= 0.5 — the learnability of the corpus and",
+        "the end-to-end learning path are both pinned in CI.",
+    ]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+        for seed in sorted(runs):
+            h = runs[seed]["train"]["history"]
+            xs = list(range(len(h)))
+            ax1.plot(xs, [x.get("loss") for x in h], "o-",
+                     label=f"train s{seed}", alpha=0.8)
+            ax1.plot(xs, [x.get("val_loss") for x in h], "s--",
+                     label=f"val s{seed}", alpha=0.8)
+            for k, mk in (("val_Recall@1", "o-"), ("val_Recall@5", "s-")):
+                ax2.plot(xs, [x.get(k) for x in h], mk,
+                         label=f"{k[4:]} s{seed}", alpha=0.8)
+        ax1.set_xlabel("epoch"); ax1.legend(fontsize=8); ax1.grid(alpha=0.3)
+        ax2.set_xlabel("epoch"); ax2.set_ylabel("recall")
+        ax2.legend(fontsize=8); ax2.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(repo / "docs" / "quality_curves.png", dpi=120)
+        plt.close(fig)
+        lines += ["", "![training and retrieval curves](docs/quality_curves.png)"]
+    except Exception as e:  # pragma: no cover
+        print(f"figure skipped: {e}")
+    (repo / "QUALITY.md").write_text("\n".join(lines) + "\n")
+    print("QUALITY.md written")

@@ -17,6 +17,7 @@ Usage: python dev/quality_run.py [stage ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,14 +30,18 @@ REPO = Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 CORPUS = REPO / ".synth_corpus"
-RUN_DIR = REPO / ".quality_run"
-ART = RUN_DIR / "artifacts"
+CORPUS_3F = REPO / ".synth_corpus_3f"  # val-only OOD tier: exactly 3 findings
 
 N_TRAIN, N_VAL = 6000, 1024
-SEED = 0
+CORPUS_SEED = 0   # the corpus is shared across training seeds
+SEED = int(os.environ.get("DEEPCORO_QR_SEED", "0"))   # init + data order
 BATCH = 16
 TEXT_LEN = 128  # synthetic reports are short; honest-throughput bench keeps 512
-EPOCHS = 10
+EPOCHS = int(os.environ.get("DEEPCORO_QR_EPOCHS", "25"))
+
+# v2 run dirs are per-seed; round-2's 10-epoch .quality_run is kept as-is
+RUN_DIR = REPO / f".quality_run_v2_s{SEED}"
+ART = RUN_DIR / "artifacts"
 
 
 def stage_corpus():
@@ -45,7 +50,7 @@ def stage_corpus():
     t0 = time.perf_counter()
     manifest = generate_corpus(
         CORPUS, n_train=N_TRAIN, n_val=N_VAL, size=224, frames=16,
-        seed=SEED, max_findings=2, paraphrase=True, coarse_pct=True,
+        seed=CORPUS_SEED, max_findings=2, paraphrase=True, coarse_pct=True,
     )
     print(f"corpus ready: {manifest} ({time.perf_counter() - t0:.0f}s)")
     return manifest
@@ -186,25 +191,55 @@ def stage_train():
         step = d.get("step")
         if any(k.startswith("train/") for k in d) and "train/loss" in d:
             hist.setdefault(step, {})["loss"] = d["train/loss"]
+            if "train/epoch_seconds" in d:
+                hist[step]["epoch_seconds"] = d["train/epoch_seconds"]
         if "val/loss" in d:
             e = hist.setdefault(step, {})
             for k, v in d.items():
                 if k.startswith("val/"):
                     e["val_" + k[4:]] = v
     history = [hist[e] | {"epoch": e} for e in sorted(hist) if "loss" in hist[e]]
+
+    from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
+
+    tok_name = type(get_tokenizer(max_length=TEXT_LEN)).__name__
     out = {
         "history": history,
         "wall_seconds": round(time.perf_counter() - t0, 1),
         "config": {"epochs": EPOCHS, "batch_size": BATCH, "lr": 1e-4,
-                   "max_text_length": TEXT_LEN, "loss_name": "contrastive"},
+                   "max_text_length": TEXT_LEN, "loss_name": "contrastive",
+                   "seed": SEED, "tokenizer": tok_name},
         "note": "wall_seconds covers the resumed chunks of this invocation",
     }
     (ART / "train.json").write_text(json.dumps(out, default=float))
     print("train done:", history[-1] if history else "no history")
 
 
+def _corpus_3f():
+    """Val-only OOD tier corpus: fresh seed, up to 3 findings per video,
+    filtered to EXACTLY 3 — harder compositions than anything in training."""
+    import pandas as pd
+
+    from deepcoro_clip_tpu.data.synthetic_angio import (
+        generate_corpus, sample_findings,
+    )
+
+    manifest = CORPUS_3F / "data.csv"
+    tier_csv = CORPUS_3F / "val_3findings.csv"
+    if tier_csv.exists():
+        return tier_csv
+    generate_corpus(CORPUS_3F, n_train=0, n_val=768, size=224, frames=16,
+                    seed=7, max_findings=3, paraphrase=True, coarse_pct=True)
+    df = pd.read_csv(manifest, sep="α", engine="python")
+    ids = df.StudyInstanceUID.str.replace("SYN", "").astype(int)
+    keep = [len(sample_findings(i, 7, 3, True)) == 3 for i in ids]
+    df[keep].to_csv(tier_csv, sep="α", index=False)
+    return tier_csv
+
+
 def stage_tiers():
-    """R@k split by difficulty: 1-finding vs 2-finding val videos."""
+    """R@k split by difficulty: 1/2-finding val videos + the 3-findings
+    out-of-distribution corpus (unseen composition count)."""
     import pandas as pd
     import yaml
 
@@ -219,11 +254,15 @@ def stage_tiers():
     df = pd.read_csv(CORPUS / "data.csv", sep="α", engine="python")
     val = df[df.Split == "val"].copy()
     ids = val.StudyInstanceUID.str.replace("SYN", "").astype(int)
-    val["n_findings"] = [len(sample_findings(i, SEED, 2, True)) for i in ids]
+    val["n_findings"] = [len(sample_findings(i, CORPUS_SEED, 2, True))
+                         for i in ids]
+    df3 = pd.read_csv(_corpus_3f(), sep="α", engine="python")
+    df3["n_findings"] = 3
 
     results = {}
     for tier, sub in (("1-finding", val[val.n_findings == 1]),
-                      ("2-findings", val[val.n_findings == 2])):
+                      ("2-findings", val[val.n_findings == 2]),
+                      ("3-findings-ood", df3)):
         tier_csv = RUN_DIR / f"val_{tier}.csv"
         sub.drop(columns=["n_findings"]).to_csv(tier_csv, sep="α", index=False)
         cfg_path = RUN_DIR / "train_config.yaml"
@@ -465,108 +504,9 @@ def stage_scaling_probe(only_B: int):
 
 
 def stage_report():
-    train = json.loads((ART / "train.json").read_text())
-    tiers = json.loads((ART / "tiers.json").read_text()) if (ART / "tiers.json").exists() else {}
-    scaling = json.loads((ART / "scaling.json").read_text()) if (ART / "scaling.json").exists() else {}
+    from dev._quality_report import write_report
 
-    hist = train["history"]
-    lines = [
-        "# QUALITY — retrieval quality evidence (synthetic-at-scale)",
-        "",
-        "Real angiography data is unavailable in this environment; this is the",
-        "strongest available proxy for the BASELINE retrieval-R@1 target: the",
-        "flagship recipe trained END-TO-END through the real runner on a",
-        f"procedurally generated compositional corpus ({N_TRAIN} train /",
-        f"{N_VAL} val clips, 224x16, 8 segments x 6 severities, <=2 findings",
-        "per video; see `deepcoro_clip_tpu/data/synthetic_angio.py`).",
-        "Validation videos are UNSEEN (fresh backgrounds/phases); retrieval is",
-        "scored against the deduped report bank, multi-positive-correct.",
-        "",
-        f"Run: flagship CoroViT + BERT-base, batch {BATCH}, lr 1e-4,",
-        f"cosine_with_warmup, bf16, text length {TEXT_LEN} (reports are",
-        "short; the throughput bench keeps the honest 512), uint8 H2D wire,",
-        f"{EPOCHS} epochs on one TPU v5e chip. Tokenizer: hash fallback (no",
-        "HF vocab in this environment) — consistent across train/val.",
-        "",
-        "## Training curve (per epoch)",
-        "",
-        "| epoch | train loss | val loss | R@1 | R@5 | R@10 | MedianRank |",
-        "|---|---|---|---|---|---|---|",
-    ]
-    for i, h in enumerate(hist):
-        lines.append(
-            f"| {i} | {h.get('loss', float('nan')):.4f} "
-            f"| {h.get('val_loss', float('nan')):.4f} "
-            f"| {h.get('val_Recall@1', float('nan')):.3f} "
-            f"| {h.get('val_Recall@5', float('nan')):.3f} "
-            f"| {h.get('val_Recall@10', float('nan')):.3f} "
-            f"| {h.get('val_MedianRank', float('nan')):.1f} |"
-        )
-    lines += ["", f"Wall time: {train['wall_seconds']} s (includes compile).", ""]
-    if tiers:
-        lines += ["## Difficulty tiers (same checkpoint)", "",
-                  "| tier | R@1 | R@5 | R@10 | MedianRank |", "|---|---|---|---|---|"]
-        for tier, m in tiers.items():
-            lines.append(
-                f"| {tier} | {m.get('Recall@1', float('nan')):.3f} "
-                f"| {m.get('Recall@5', float('nan')):.3f} "
-                f"| {m.get('Recall@10', float('nan')):.3f} "
-                f"| {m.get('MedianRank', float('nan')):.1f} |"
-            )
-        lines.append("")
-    if scaling:
-        lines += [
-            "## lr x recipe scaling probes (300 steps, fixed real batches)",
-            "",
-            "The round-1 finding: from-scratch contrastive training pins at the",
-            "uniform-logits plateau (loss = ln(B), grads collapse ~8 -> 0.03",
-            "within ~10 steps). `recipe_*` rows run the SHIPPED train step",
-            "(cosine_with_warmup, max_grad_norm 1.0, text tower at text_lr,",
-            "dropout); `B*` rows are the guardrail ablation (bare constant-lr",
-            "AdamW, no clipping, no warmup, uniform lr) — which pins at the",
-            "plateau even at lr 1e-4, showing the recipe's guardrails, not",
-            "just the lr value, are what escape it:",
-            "",
-            "| probe | final loss | ln(B) | escaped plateau |",
-            "|---|---|---|---|",
-        ]
-        for k, v in scaling.items():
-            lines.append(f"| {k} | {v['final']:.4f} | {v['ln_B']:.3f} "
-                         f"| {'yes' if v['escaped_plateau'] else 'NO'} |")
-        lines.append("")
-    lines += [
-        "## Regression guard",
-        "",
-        "`tests/runners/test_quality_regression.py` trains the tiny recipe on",
-        "the same corpus generator (CPU, ~60 s) and asserts unseen-video",
-        "R@1 >= 4x chance and R@5 >= 0.5 — the learnability of the corpus and",
-        "the end-to-end learning path are both pinned in CI.",
-    ]
-    # retrieval-curve figure alongside the tables
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
-        xs = list(range(len(hist)))
-        ax1.plot(xs, [h.get("loss") for h in hist], "o-", label="train loss")
-        ax1.plot(xs, [h.get("val_loss") for h in hist], "s-", label="val loss")
-        ax1.set_xlabel("epoch"); ax1.legend(); ax1.grid(alpha=0.3)
-        for k, mk in (("val_Recall@1", "o-"), ("val_Recall@5", "s-"),
-                      ("val_Recall@10", "^-")):
-            ax2.plot(xs, [h.get(k) for h in hist], mk, label=k[4:])
-        ax2.set_xlabel("epoch"); ax2.set_ylabel("recall")
-        ax2.legend(); ax2.grid(alpha=0.3)
-        fig.tight_layout()
-        fig.savefig(REPO / "docs" / "quality_curves.png", dpi=120)
-        plt.close(fig)
-        lines += ["", "![training and retrieval curves](docs/quality_curves.png)"]
-    except Exception as e:  # pragma: no cover
-        print(f"figure skipped: {e}")
-    (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
-    print("QUALITY.md written")
+    write_report(REPO, N_TRAIN, N_VAL, BATCH, TEXT_LEN)
 
 
 STAGES = {
