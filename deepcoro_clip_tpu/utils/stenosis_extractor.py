@@ -30,6 +30,8 @@ SEGMENT_ALIASES: Dict[str, List[str]] = {
     "mid_rca": ["mid rca", "middle rca"],
     "dist_rca": ["distal rca", "dist rca"],
     "pda": ["posterior descending", "pda"],
+    "lvp": ["left posterolateral branch", "left posterolateral",
+            "right ventricular posterior", "rvp", "lvp"],
     "posterolateral": ["posterolateral", "plv", "pl branch"],
     "ramus": ["ramus", "intermediate"],
     "lad": ["lad", "left anterior descending"],
@@ -75,7 +77,15 @@ SEVERITY_KEYWORDS = {
     "occlusion": 100.0,
 }
 
-_PCT = re.compile(r"(\d{1,3})\s*(?:-\s*(\d{1,3})\s*)?%")
+# decimals included ("~70.0%", reference _normalize_numeric_tokens handles
+# "80. 0 %" spacing — the \s* groups below cover the same inputs)
+_PCT = re.compile(
+    r"(\d{1,3}(?:\s*\.\s*\d+)?)\s*(?:-\s*(\d{1,3}(?:\s*\.\s*\d+)?)\s*)?%"
+)
+
+
+def _pct_value(tok: str) -> float:
+    return float(tok.replace(" ", ""))
 _CTO = re.compile(r"\b(cto|chronic total occlusion|total(?:ly)? occlu\w*)\b")
 
 
@@ -118,8 +128,14 @@ class StenosisExtractor:
         """Split the report into clauses; attribute percents/severities/CTO to
         the segments mentioned in each clause."""
         text = str(text).lower()
+        # numeric-token normalization (reference _normalize_numeric_tokens):
+        # "80. 0" -> "80.0", "80.0 %" -> "80.0%"
+        text = re.sub(r"(\d+)\s*\.\s*(\d+)", r"\1.\2", text)
+        text = re.sub(r"(\d)\s*%", r"\1%", text)
         findings: Dict[str, SegmentFinding] = {}
-        for clause in re.split(r"[.;\n]", text):
+        # a period between digits is a decimal point ("70.0%"), not a
+        # clause boundary
+        for clause in re.split(r";|\n|\.(?!\d)", text):
             if not clause.strip():
                 continue
             matched: List[str] = []
@@ -138,8 +154,8 @@ class StenosisExtractor:
             pct: Optional[float] = None
             m = _PCT.search(clause)
             if m:
-                lo = float(m.group(1))
-                hi = float(m.group(2)) if m.group(2) else lo
+                lo = _pct_value(m.group(1))
+                hi = _pct_value(m.group(2)) if m.group(2) else lo
                 pct = (lo + hi) / 2.0
             cto = bool(_CTO.search(clause))
             severity_kw = next(
@@ -154,15 +170,11 @@ class StenosisExtractor:
                 f = findings.get(seg) or SegmentFinding(segment=seg)
                 if pct is not None and (f.percent is None or pct > f.percent):
                     f.percent = pct
-                    # "minimal"/"subtotal"/"occluded" resolve through the
-                    # percent ladder so emitted names stay in the reference
-                    # vocabulary (normal/mild/moderate/severe/critical).
-                    f.severity = (
-                        severity_kw
-                        if severity_kw in ("normal", "mild", "moderate",
-                                           "severe", "critical")
-                        else percent_to_severity(pct)
-                    )
+                    # severity always derives from the percent (reference
+                    # StenosisInfo.severity = classify_severity(percentage))
+                    # — a keyword like "moderate calcifications" in the same
+                    # clause must not relabel a 70% lesion
+                    f.severity = percent_to_severity(pct)
                 f.cto = f.cto or cto
                 findings[seg] = f
         return findings
@@ -181,3 +193,36 @@ class StenosisExtractor:
             sev = "cto" if f.cto else f.severity
             w = max(w, weights.get(sev, 1.0))
         return w
+
+
+# reference artery order (get_stenosis_feature_vector,
+# utils/stenosis_extractor.py:380-386)
+DEFAULT_ARTERY_ORDER: List[str] = [
+    "left_main", "prox_lad", "mid_lad", "dist_lad", "d1", "d2",
+    "prox_lcx", "dist_lcx", "om1", "om2", "ramus", "lvp",
+    "prox_rca", "mid_rca", "dist_rca", "pda", "posterolateral",
+]
+
+
+def stenosis_feature_vector(
+    report: str,
+    artery_order: Optional[List[str]] = None,
+    extractor: Optional[StenosisExtractor] = None,
+) -> "np.ndarray":
+    """Fixed-length per-artery stenosis-percent vector (reference
+    get_stenosis_feature_vector, utils/stenosis_extractor.py:363-400).
+    Unparseable reports yield all zeros — appropriate for early-training
+    generated text."""
+    import numpy as np
+
+    order = artery_order or DEFAULT_ARTERY_ORDER
+    vec = np.zeros(len(order), np.float32)
+    try:
+        findings = (extractor or StenosisExtractor()).extract(report)
+    except Exception:
+        return vec
+    for i, seg in enumerate(order):
+        f = findings.get(seg)
+        if f is not None and f.percent is not None:
+            vec[i] = f.percent
+    return vec

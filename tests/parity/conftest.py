@@ -23,7 +23,12 @@ REFERENCE = "/root/reference"
 def _stub(name: str, **attrs):
     if name in sys.modules:
         return sys.modules[name]
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec(name) works (transformers
+    # probes torchvision availability that way)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
