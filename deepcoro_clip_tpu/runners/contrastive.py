@@ -81,6 +81,7 @@ class VideoContrastiveLearningRunner:
             config.loss_name.lower() in clip_train.MULTI_POSITIVE_LOSSES
         )
 
+        self.siglip_resources = None  # set when siglip manifests are wired
         self.datasets = datasets if datasets is not None else self._build_datasets()
         self._resolve_stats()
         self.loaders = {
@@ -148,6 +149,7 @@ class VideoContrastiveLearningRunner:
                 severity_weights=cfg.siglip_positive_severity_weights,
                 enable_severity_weighting=cfg.siglip_enable_severity_weighting,
             )
+            self.siglip_resources = resources
 
             def make(split, augment=False):
                 return SiglipVideoDataset(
@@ -590,6 +592,25 @@ class VideoContrastiveLearningRunner:
         metrics["alignment"] = compute_alignment_score(
             v_emb, t_emb[np.asarray(text_ids)]
         )
+
+        if self.multi_positive and self.siglip_resources is not None:
+            # tree/segment/severity-aware panel (reference
+            # utils/semantic_metrics.py:69-232) keyed here by text STRING —
+            # metadata resolved through the siglip text catalog
+            from deepcoro_clip_tpu.utils.semantic_metrics import (
+                compute_semantic_metrics,
+            )
+
+            res = self.siglip_resources
+            meta_by_text = {}
+            for tid, meta in res.meta_by_id.items():
+                meta_by_text.setdefault(res.text_by_id.get(tid, ""), meta)
+            metrics.update(compute_semantic_metrics(
+                sim,
+                [[t for t in tl] for tl in texts],
+                meta_by_text,
+                unique_texts,
+            ))
 
         if cfg.is_ref_device:
             # artifacts (reference saves val_unique_texts.csv + text emb .pt

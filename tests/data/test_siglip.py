@@ -37,16 +37,19 @@ def manifests(tmp_path_factory):
             {"video_id": "v1", "text_id": "t0", "weight": 1.0},
             {"video_id": "v2", "text_id": "t3", "weight": 1.0},
             {"video_id": "v2", "text_id": "t4", "weight": 1.5},
+            {"video_id": "v3", "text_id": "t1", "weight": 1.0},
+            {"video_id": "v4", "text_id": "t3", "weight": 1.0},
         ]
     )
     edges.to_csv(root / "edges.csv", index=False)
 
     r = np.random.default_rng(0)
     rows = []
-    for i in range(3):
+    for i in range(5):
         p = root / f"v{i}.npy"
         np.save(p, r.integers(0, 255, size=(6, 16, 16, 3)).astype(np.uint8))
-        rows.append({"FileName": str(p), "video_id": f"v{i}", "Split": "train",
+        rows.append({"FileName": str(p), "video_id": f"v{i}",
+                     "Split": "train" if i < 3 else "val",
                      "StudyInstanceUID": f"S{i}"})
     pd.DataFrame(rows).to_csv(root / "videos.csv", index=False)
     return root
@@ -135,3 +138,9 @@ def test_siglip_runner_end_to_end(manifests, tmp_path):
     runner = VideoContrastiveLearningRunner(cfg, output_dir=tmp_path / "run")
     result = runner.train()
     assert np.isfinite(result["history"][0]["loss"])
+    # semantic tree/segment/severity panel rides SigLIP validation
+    # (reference utils/semantic_metrics.py:69-232)
+    val = result["history"][0]
+    sem = [k for k in val if k.startswith("val_semantic/")]
+    assert "val_semantic/tree_recall@5" in sem
+    assert all(np.isfinite(val[k]) for k in sem)
