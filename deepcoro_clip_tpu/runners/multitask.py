@@ -310,19 +310,10 @@ class MultitaskRunner:
             )
             # greedy captions over the FULL validation split (reference
             # computes BLEU/ROUGE on all val captions,
-            # runners/multitask_runner.py:1356-1503), KV-cache decoding
-            from deepcoro_clip_tpu.ops import pixels
-
-            vids = pixels.normalize_videos(
-                db["videos"], *pixels.config_stats(cfg)
-            )
-            feats = self.bundle.video_model.apply(
-                {"params": self.state.params["video_encoder"]},
-                vids, deterministic=True,
-                method=self.bundle.video_model.features,
-            )
-            B, N, L, D = feats["tokens"].shape
-            toks = feats["tokens"].reshape(B, N * L, D)
+            # runners/multitask_runner.py:1356-1503), KV-cache decoding.
+            # video tokens come from the SAME forward that produced the
+            # losses — one backbone pass per val batch
+            toks = out["video_tokens"]
             from deepcoro_clip_tpu.data.tokenizer import CLS_ID, SEP_ID
 
             ids = greedy_generate_kv(

@@ -136,11 +136,16 @@ def build_clip_bundle(
 
     locca_decoder = None
     if config.locca_enabled:
-        # lightweight cross-attention decoder over unpooled video tokens
-        # (reference LocCaDecoder, models/locca_decoder.py:223-455)
-        from deepcoro_clip_tpu.models.captioning_decoder import CaptioningDecoder
+        # location-aware decoder over unpooled video tokens: coordinate-
+        # conditioned cross-attention, sinusoidal text positions, untied head
+        # (reference LocCaDecoder, models/locca_decoder.py:56,135,223-455)
+        from deepcoro_clip_tpu.models.locca_decoder import (
+            LocCaDecoder,
+            locca_token_grid,
+        )
 
-        locca_decoder = CaptioningDecoder(
+        grid, n_special = locca_token_grid(config)
+        locca_decoder = LocCaDecoder(
             vocab_size=config.text_vocab_size,
             dim=config.locca_d_model,
             depth=config.locca_num_layers,
@@ -150,6 +155,8 @@ def build_clip_bundle(
             dropout=config.dropout,
             dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
             use_flash=config.use_pallas_attention,
+            token_grid=grid,
+            n_special_tokens=n_special,
         )
         feats = video_model.apply(
             {"params": vparams}, jnp.asarray(batch["videos"]),
@@ -158,8 +165,9 @@ def build_clip_bundle(
         )
         B = batch["videos"].shape[0]
         toks = feats["tokens"].reshape(B, -1, config.embedding_dim)
+        rloc = jax.random.fold_in(rv, 7)  # independent of the video tower
         dvars = locca_decoder.init(
-            {"params": rv, "dropout": rd},
+            {"params": rloc, "dropout": rd},
             jnp.asarray(batch["caption_ids"]), toks,
         )
         dparams, dspec = unbox_with_spec(dvars["params"])

@@ -288,6 +288,9 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
         "video_emb": feats["study"],
         "text_emb": t_emb,
         "caption_logits": logits,
+        # reused by validation for caption generation — one backbone pass
+        # per val batch (features() exists precisely for this)
+        "video_tokens": toks_flat,
         **{f"locca_{k}": v for k, v in locca_parts.items()},
     }
 
