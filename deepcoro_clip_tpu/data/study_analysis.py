@@ -45,21 +45,32 @@ DEFAULT_VESSEL_LABELS = (
 SIGNIFICANT_STENOSIS_THRESHOLD = 70.0  # the clinical line (reference README)
 
 
+def _dominance_side(dominance: Union[str, int, float, None]) -> str:
+    """Normalize a dominance label to 'right' or 'left'.
+
+    Behavior matches the reference (utils/data_aggregation.py:145-172):
+    numeric encodings mean 0 = right and anything else = left; names count
+    as right only when they contain "right" (so "co-dominant" falls on the
+    left/extended-LCX side); missing values default to right dominant (the
+    common anatomy)."""
+    if dominance is None:
+        return "right"
+    try:
+        as_num = float(str(dominance))
+    except (TypeError, ValueError):
+        return "right" if "right" in str(dominance).lower() else "left"
+    if np.isnan(as_num):
+        return "right"
+    return "right" if as_num == 0 else "left"
+
+
 def get_vessels_for_dominance(
     dominance: Union[str, int, float, None],
 ) -> Tuple[List[str], List[str]]:
-    """(rca_vessels, non_rca_vessels) adjusted for coronary dominance
-    (reference: utils/data_aggregation.py:145-172; 0 = right, 1 = left;
-    None/NaN defaults to right dominant)."""
-    if dominance is None or (isinstance(dominance, float) and np.isnan(dominance)):
-        name = "right_dominant"
-    elif dominance in {0, 0.0, "0", "0.0"}:
-        name = "right_dominant"
-    elif dominance in {1, 1.0, "1", "1.0"}:
-        name = "left_dominant"
-    else:
-        name = str(dominance).lower()
-    if "right" in name:
+    """(rca_vessels, non_rca_vessels) for a study's coronary dominance:
+    the PDA/posterolateral territory belongs to the RCA in right-dominant
+    anatomy, while the LVP joins the circumflex side in left-dominant."""
+    if _dominance_side(dominance) == "right":
         return (RCA_VESSELS + RIGHT_DOMINANCE_DEPENDENT_VESSELS,
                 list(NON_RCA_VESSELS))
     return (list(RCA_VESSELS),

@@ -354,7 +354,9 @@ def plot_run_summary(run_dir: str | Path) -> List[Path]:
     """Every applicable panel for a run dir in one call (the role of the
     reference's 2,422-LoC plot_metrics suite entry points)."""
     outs = []
-    for fn in (plot_training_curves, plot_retrieval_metrics, plot_grad_norms):
+    for fn in (plot_training_curves, plot_retrieval_metrics, plot_grad_norms,
+               plot_calcification_by_severity,
+               plot_calcification_by_vessel_location):
         try:
             p = fn(run_dir)
             if p is not None:
@@ -376,3 +378,122 @@ def plot_run_summary(run_dir: str | Path) -> List[Path]:
             except Exception:
                 continue
     return outs
+
+
+# ------------------------------------------------------------------ #
+# calcification trend analyses (reference debug_calcification_by_severity
+# utils/plot_metrics.py:1377-1502 and analyze_calcification_by_vessel_location
+# :2154-2290): group per-class calcification metrics by severity level /
+# anatomical vessel system and chart the multi-epoch trends.
+# ------------------------------------------------------------------ #
+
+CALCIF_SEVERITY_PATTERNS = {
+    "no": ("no_calcif", "_no_", "_none_", "absent", "zero", "0_calcif"),
+    "mild": ("mild", "light", "minimal", "1_calcif", "low"),
+    "moderate": ("moderate", "mod_", "2_calcif", "medium"),
+    "severe": ("severe", "heavy", "extensive", "3_calcif", "high", "max"),
+}
+
+CALCIF_VESSEL_GROUPS = {
+    "Left Main": ("left_main_calcif",),
+    "LAD System": ("prox_lad_calcif", "mid_lad_calcif", "dist_lad_calcif",
+                   "d1_calcif", "d2_calcif"),
+    "LCX System": ("prox_lcx_calcif", "dist_lcx_calcif", "lvp_calcif",
+                   "om1_calcif", "om2_calcif"),
+    "RCA System": ("prox_rca_calcif", "mid_rca_calcif", "dist_rca_calcif",
+                   "pda_calcif", "posterolateral_calcif"),
+    "Other": ("bx_calcif", "ramus_calcif"),
+}
+
+
+def _calcif_epoch_metrics(run_dir: str | Path) -> tuple[list, list]:
+    """(epochs, per-epoch {metric: value}) for every val metric whose name
+    mentions calcification."""
+    rows = load_history(run_dir)
+    epochs, per_epoch = [], []
+    for d in rows:
+        vals = {k[4:]: v for k, v in d.items()
+                if k.startswith("val/") and "calcif" in k.lower()
+                and isinstance(v, (int, float))}
+        if vals:
+            epochs.append(d.get("step", len(epochs)))
+            per_epoch.append(vals)
+    return epochs, per_epoch
+
+
+def _group_trends(per_epoch, groups, match):
+    """{group: {"metrics": sorted names, "trend": [per-epoch mean]}}"""
+    import numpy as np
+
+    names = set()
+    for m in per_epoch:
+        names.update(m)
+    out = {}
+    for group, patterns in groups.items():
+        members = sorted(n for n in names if match(n.lower(), patterns))
+        if not members:
+            continue
+        trend = []
+        for m in per_epoch:
+            vals = [m[n] for n in members if n in m
+                    and np.isfinite(m[n])]
+            trend.append(float(np.mean(vals)) if vals else float("nan"))
+        out[group] = {"metrics": members, "trend": trend}
+    return out
+
+
+def calcification_by_severity(per_epoch_metrics) -> Dict:
+    """Severity-level grouping via the reference's substring patterns."""
+    return _group_trends(
+        per_epoch_metrics, CALCIF_SEVERITY_PATTERNS,
+        lambda name, pats: any(p in name for p in pats),
+    )
+
+
+def calcification_by_vessel_location(per_epoch_metrics) -> Dict:
+    """Anatomical vessel-system grouping (exact vessel tokens)."""
+    return _group_trends(
+        per_epoch_metrics, CALCIF_VESSEL_GROUPS,
+        lambda name, pats: any(p in name for p in pats),
+    )
+
+
+def _plot_group_trends(epochs, grouped, ylabel, out):
+    if not grouped:
+        return None
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    for group, d in grouped.items():
+        ax.plot(epochs, d["trend"], marker="o",
+                label=f"{group} (n={len(d['metrics'])})")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)
+
+
+def plot_calcification_by_severity(run_dir: str | Path,
+                                   out: Optional[str | Path] = None):
+    epochs, per_epoch = _calcif_epoch_metrics(run_dir)
+    if not per_epoch:
+        return None
+    out = out or Path(run_dir) / "calcification_by_severity.png"
+    return _plot_group_trends(
+        epochs, calcification_by_severity(per_epoch),
+        "mean calcification metric", out,
+    )
+
+
+def plot_calcification_by_vessel_location(run_dir: str | Path,
+                                          out: Optional[str | Path] = None):
+    epochs, per_epoch = _calcif_epoch_metrics(run_dir)
+    if not per_epoch:
+        return None
+    out = out or Path(run_dir) / "calcification_by_vessel_location.png"
+    return _plot_group_trends(
+        epochs, calcification_by_vessel_location(per_epoch),
+        "mean calcification metric", out,
+    )
