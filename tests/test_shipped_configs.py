@@ -79,3 +79,63 @@ def test_probing_config_builds_bundle():
     mesh = make_mesh(MeshSpec(data=2, model=1))
     bundle, state = build_probe_bundle(cfg, mesh, jax.random.PRNGKey(0))
     assert set(bundle.head_names) == set(cfg.head_structure)
+
+
+def test_bench_config_frozen_in_sync():
+    """config/bench/flagship_bench_text512.yaml must match what bench.py
+    actually builds (flagship_config(batch_size=16, max_text_length=512))."""
+    import yaml
+
+    from deepcoro_clip_tpu.flagship import flagship_config
+
+    frozen = yaml.safe_load(
+        (REPO / "config" / "bench" / "flagship_bench_text512.yaml").read_text()
+    )
+    cfg = flagship_config(batch_size=16, max_text_length=512)
+    for key in ("batch_size", "frames", "resize", "vit_dim", "vit_depth",
+                "vit_heads", "vit_patch", "vit_pool_stages", "embedding_dim",
+                "text_dim", "text_depth", "text_heads", "text_vocab_size",
+                "max_text_length", "precision", "use_pallas_attention",
+                "multi_video", "dropout", "loss_name"):
+        assert frozen[key] == getattr(cfg, key), key
+
+
+def test_quality_config_frozen_in_sync():
+    """config/quality/flagship_quality_train.yaml must match the recipe
+    dev/quality_run.py actually trains (its _base_cfg + flagship fields)."""
+    import yaml
+
+    frozen = yaml.safe_load(
+        (REPO / "config" / "quality" / "flagship_quality_train.yaml").read_text()
+    )
+    import dev.quality_run as qr
+
+    assert frozen["batch_size"] == qr.BATCH
+    assert frozen["max_text_length"] == qr.TEXT_LEN
+    assert frozen["lr"] == 1e-4
+    assert frozen["scheduler_name"] == "cosine_with_warmup"
+    assert frozen["loss_name"] == "contrastive"
+    from deepcoro_clip_tpu.flagship import flagship_config
+
+    fc = flagship_config()
+    for key in ("vit_dim", "vit_depth", "vit_heads", "embedding_dim",
+                "text_dim", "text_depth", "text_heads", "text_vocab_size",
+                "temperature", "precision", "use_pallas_attention"):
+        assert frozen[key] == getattr(fc, key), key
+
+
+def test_inference_catalog_covers_measured_artifacts():
+    """Every measured artifact (QUALITY.md curve, tier tables, both bench
+    variants, study-mode bench, per-study latency) has a frozen config."""
+    needed = [
+        "quality/flagship_quality_train.yaml",
+        "quality/flagship_quality_tier_eval.yaml",
+        "bench/flagship_bench_text512.yaml",
+        "bench/flagship_bench_text128.yaml",
+        "bench/flagship_bench_study_mode.yaml",
+        "inference/study_retrieval_latency.yaml",
+        "inference/embedding_extraction.yaml",
+        "inference/stenosis70_probing_val.yaml",
+    ]
+    for rel in needed:
+        assert (REPO / "config" / rel).exists(), rel
