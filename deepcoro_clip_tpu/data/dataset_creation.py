@@ -127,3 +127,207 @@ def reconstruct_report(findings: List[Tuple[str, str, Optional[float], bool]]) -
     parts = [canonical_prompt(seg, sev, pct, cto)
              for seg, sev, pct, cto in findings]
     return ". ".join(parts) + "." if parts else "normal coronary arteries."
+
+
+# ------------------------------------------------------------------ #
+# report generation from structured per-vessel predictions (the in-scope
+# core of reference dataset_creation/generate_dataset.py:133-544)
+# ------------------------------------------------------------------ #
+
+# display names keyed by the structured-prediction stenosis columns
+# (reference LABELS_TO_VESSEL_NAMES, generate_dataset.py:50-69)
+VESSEL_DISPLAY: Dict[str, str] = {
+    "left_main_stenosis": "the Left Main Coronary Artery (LMCA)",
+    "prox_lad_stenosis": "the proximal LAD",
+    "mid_lad_stenosis": "the mid LAD",
+    "dist_lad_stenosis": "the distal LAD",
+    "D1_stenosis": "D1 branch",
+    "D2_stenosis": "D2 branch",
+    "lcx_stenosis": "the proximal LCX",
+    "dist_lcx_stenosis": "the distal LCX",
+    "om1_stenosis": "OM1",
+    "om2_stenosis": "OM2",
+    "prox_rca_stenosis": "the proximal RCA",
+    "mid_rca_stenosis": "the mid RCA",
+    "dist_rca_stenosis": "the distal RCA",
+    "pda_stenosis": "the PDA",
+    "posterolateral_stenosis": "the posterolateral branch",
+    "bx_stenosis": "Ramus",
+    "lvp_stenosis": "left posterolateral branch",
+    "lima_or_svg_stenosis": "the LIMA or SVG graft",
+}
+
+_REPORT_RCA = ["prox_rca_stenosis", "mid_rca_stenosis", "dist_rca_stenosis"]
+_REPORT_NON_RCA = [
+    "left_main_stenosis", "prox_lad_stenosis", "mid_lad_stenosis",
+    "dist_lad_stenosis", "D1_stenosis", "D2_stenosis", "lcx_stenosis",
+    "dist_lcx_stenosis", "om1_stenosis", "om2_stenosis", "bx_stenosis",
+    "lvp_stenosis",
+]
+_REPORT_RIGHT_DEPENDENT = ["pda_stenosis", "posterolateral_stenosis"]
+
+
+def format_stenosis_value(p: float) -> str:
+    """Percent -> severity phrase (reference generate_dataset.py:133-144)."""
+    if p == 0:
+        return "no significant stenosis"
+    for bound, name in ((50, "mild"), (70, "moderate"), (90, "severe")):
+        if p < bound:
+            return f"{name} stenosis (~{p}%)"
+    return f"critical stenosis (~{p}%)"
+
+
+def format_calcification_value(c: str) -> str:
+    """Calcification free text -> standardized phrase (reference :146-158;
+    accepts the source tables' French labels)."""
+    txt = str(c).lower()
+    if "no calcification" in txt or "pas de calcification" in txt:
+        return "no calcifications"
+    for keys, label in ((("minimes", "mild"), "minimal"),
+                        (("modérées", "moderate"), "moderate"),
+                        (("importantes", "severe"), "severe")):
+        if any(k in txt for k in keys):
+            return f"{label} calcifications"
+    return f"calcifications present ({c})"
+
+
+def format_ifr_value(v: float) -> str:
+    """reference :160-163 (0.89 is the clinical IFR cut)."""
+    return f"IFR {'normal' if v > 0.89 else 'abnormal'} (~{v:.2f})"
+
+
+def _present(value) -> bool:
+    if value is None:
+        return False
+    if isinstance(value, float) and np.isnan(value):
+        return False
+    return value not in (0, 0.0, "", "0", "0.0", "nan", -1, "-1")
+
+
+def create_report(row, coronary_specific_report: bool = True) -> str:
+    """Structured per-vessel predictions -> textual angiography report
+    (reference create_report, generate_dataset.py:349-544): dominance-aware
+    vessel ordering, CTO / in-stent restenosis / stenosis phrasing, calcif +
+    IFR + bifurcation descriptors, collateral circulation, closing dominance
+    sentence."""
+    get = row.get if hasattr(row, "get") else lambda k, d=None: d
+
+    dom_raw = str(get("dominance_name", "") or "").replace("_", " ")
+    dom_lower = dom_raw.lower()
+    # anatomy overrides the label: a diseased LVP only exists in
+    # left-dominant (or co-dominant) hearts
+    try:
+        lvp_val = float(get("lvp_stenosis", 0) or 0)
+    except (TypeError, ValueError):
+        lvp_val = 0.0
+    if lvp_val > 0:
+        dom_raw = dom_lower = "left dominant"
+
+    if "right" in dom_lower:
+        rca_order = _REPORT_RCA + _REPORT_RIGHT_DEPENDENT
+        non_rca_order = [v for v in _REPORT_NON_RCA if v != "lvp_stenosis"]
+    else:  # left- or co-dominant: LVP is the posterior vessel, PDA absent
+        rca_order = list(_REPORT_RCA)
+        non_rca_order = list(_REPORT_NON_RCA)
+
+    if coronary_specific_report:
+        side = get("main_structure_name")
+        if side == "Right Coronary":
+            order = rca_order
+        elif side == "Left Coronary":
+            order = non_rca_order
+        else:
+            return "Invalid main_structure_name for coronary-specific report"
+    else:
+        order = list(VESSEL_DISPLAY)
+
+    display = dict(VESSEL_DISPLAY)
+    if "left" in dom_lower:
+        display["pda_stenosis"] = "the LEFT PDA"
+        display["posterolateral_stenosis"] = "the LEFT posterolateral branch"
+
+    has_graft = ("pontage" in str(get("Conclusion", "")).lower()
+                 or get("bypass_graft", 0) == 1)
+    if not has_graft and "lima_or_svg_stenosis" in order:
+        order = [v for v in order if v != "lima_or_svg_stenosis"]
+
+    lines: List[str] = []
+    for label in order:
+        prefix = label[: -len("_stenosis")]
+        desc: List[str] = []
+        if _present(get(prefix + "_cto", 0)) and float(get(prefix + "_cto", 0)) == 1:
+            desc.append("is 100% blocked and is a CTO")
+        else:
+            st = get(label, -1)
+            if st is not None and not (
+                isinstance(st, float) and np.isnan(st)
+            ) and st != -1:
+                stent = get(prefix + "_stent", 0)
+                if _present(stent) and float(stent) > 0:
+                    if float(st) <= 10:
+                        desc.append("no restenosis in stent")
+                    else:
+                        desc.append(
+                            "in-stent restenosis "
+                            f"({format_stenosis_value(float(st))})"
+                        )
+                else:
+                    desc.append(format_stenosis_value(float(st)))
+        calc = get(prefix + "_calcif", "-1")
+        if isinstance(calc, str) and calc.strip() != "-1":
+            desc.append(format_calcification_value(calc))
+        ifr = get(prefix + "_IFRHYPEREMIE", -1)
+        if ifr is not None and not (
+            isinstance(ifr, float) and np.isnan(ifr)
+        ) and ifr != -1:
+            desc.append(format_ifr_value(float(ifr)))
+        bif = get(prefix + "_bifurcation")
+        if _present(bif):
+            text = str(bif).strip()
+            if text.lower() != "pas de lésion de bifurcation":
+                desc.append(f"bifurcation lesion (Medina {text})")
+        if desc:
+            joined = (desc[0] if len(desc) == 1
+                      else ", ".join(desc[:-1]) + ", and " + desc[-1])
+            lines.append(f"{display[label]} has {joined}.")
+
+    # collateral circulation: receivers in scope, then in-scope donors
+    all_labels = list(VESSEL_DISPLAY)
+    for label in order:
+        coll = get(label[: -len("_stenosis")] + "_collateral")
+        if _present(coll):
+            if isinstance(coll, str) and coll.strip().lower() != "nan":
+                lines.append(f"{VESSEL_DISPLAY[label]} receives collaterals "
+                             f"from the {coll.strip()}.")
+            elif isinstance(coll, (int, float)):
+                lines.append(f"{VESSEL_DISPLAY[label]} receives collateral "
+                             f"circulation (code: {coll}).")
+    for label in order:
+        mine = VESSEL_DISPLAY[label].lower()
+        variants = {mine, mine.replace("the ", "")}
+        for tok in ("rca", "lad", "lcx"):
+            if tok in mine:
+                variants.add(tok)
+        for other in all_labels:
+            coll = get(other[: -len("_stenosis")] + "_collateral")
+            if _present(coll) and isinstance(coll, str):
+                donor = coll.strip().lower()
+                if any(v and v in donor for v in variants):
+                    lines.append(f"{VESSEL_DISPLAY[label]} gives collaterals "
+                                 f"to {VESSEL_DISPLAY[other]}.")
+
+    if dom_raw.strip():
+        lines.append(f"The coronary circulation is {dom_raw}.")
+    return ("\n".join(lines) if lines
+            else "No significant findings or additional data available.")
+
+
+def generate_reports(df, coronary_specific: bool = True):
+    """Add a ``Report`` column from the structured columns (reference
+    generate_reports, generate_dataset.py:723-744)."""
+    out = df.copy()
+    out["Report"] = [
+        create_report(row, coronary_specific_report=coronary_specific)
+        for _, row in out.iterrows()
+    ]
+    return out
