@@ -207,24 +207,45 @@ def siglip_multi_positive_loss(
 
 @LossRegistry.register("weighted_siglip")
 def weighted_siglip_loss(
-    video_emb, text_emb, positive_mask, log_temp, bias,
-    positive_weights=None, **kw,
+    video_emb, text_emb, positive_mask, log_temp, bias=None,
+    positive_weights=None, text_valid=None, sample_mask=None, eps=1e-6, **kw,
 ):
-    """Normalized positive-weight BCE (reference WeightedSigLIPLoss,
-    utils/loss/weighted_siglip.py:6-50): positive weights normalised to mean 1
-    per video before the pairwise loss."""
+    """Bidirectional weighted multi-positive softmax CE — the reference
+    WeightedSigLIPLoss is a log-softmax reduction despite the SigLIP name
+    (utils/loss/weighted_siglip.py:38-51), called with logits = sim/temp and
+    positive_weights = targets * per-pair weights
+    (runners/video_constrative_learning_runner.py:1275-1283). ``bias`` is
+    accepted for registry-signature uniformity but unused, exactly like the
+    reference's weighted path."""
+    v = l2_normalize(video_emb)
+    t = l2_normalize(text_emb)
+    temp = jnp.maximum(jnp.exp(log_temp), 1e-4)
+    logits = (v @ t.T) / temp  # [B, M]
+
+    pos = positive_mask.astype(jnp.float32)
     if positive_weights is not None:
-        pos = positive_mask.astype(jnp.float32)
-        row_mean = jnp.sum(positive_weights * pos, axis=1, keepdims=True) / (
-            jnp.maximum(jnp.sum(pos, axis=1, keepdims=True), 1.0)
-        )
-        positive_weights = jnp.where(
-            pos > 0, positive_weights / jnp.maximum(row_mean, 1e-6), 1.0
-        )
-    return siglip_multi_positive_loss(
-        video_emb, text_emb, positive_mask, log_temp, bias,
-        positive_weights=positive_weights, **kw,
-    )
+        pos = pos * jnp.maximum(positive_weights.astype(jnp.float32), 0.0)
+    col_ok = (text_valid.astype(jnp.float32) if text_valid is not None
+              else jnp.ones((logits.shape[1],), jnp.float32))
+    row_ok = (sample_mask.astype(jnp.float32) if sample_mask is not None
+              else jnp.ones((logits.shape[0],), jnp.float32))
+    pos = pos * col_ok[None, :] * row_ok[:, None]
+    masked = jnp.where(col_ok[None, :] > 0, logits, NEG_LOGIT)
+
+    logp_v2t = jax.nn.log_softmax(masked, axis=1)
+    loss_v2t = -jnp.sum(pos * logp_v2t, axis=1) / jnp.maximum(
+        pos.sum(axis=1), eps)
+    logp_t2v = jax.nn.log_softmax(
+        jnp.where(row_ok[None, :] > 0, logits.T, NEG_LOGIT), axis=1)
+    loss_t2v = -jnp.sum(pos.T * logp_t2v, axis=1) / jnp.maximum(
+        pos.T.sum(axis=1), eps)
+
+    # row means over VALID rows/cols (identical to the reference's .mean()
+    # when unpadded)
+    lv = jnp.sum(loss_v2t * row_ok) / jnp.maximum(row_ok.sum(), 1.0)
+    lt = jnp.sum(loss_t2v * col_ok) / jnp.maximum(col_ok.sum(), 1.0)
+    loss = 0.5 * (lv + lt)
+    return {"loss": loss, "similarity": logits, "temperature": temp}
 
 
 @LossRegistry.register("multi_positive_infonce")

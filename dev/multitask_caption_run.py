@@ -1,0 +1,133 @@
+"""Multitask captioning with REAL decoded text (VERDICT round-2 #2 tail).
+
+Round 2's captioning metrics rode the hash tokenizer (BLEU over id
+strings). With `assets/vocab.txt` shipped, this run trains the multitask
+pipeline (contrastive + captioning + MVM) on the synthetic corpus with the
+real WordPiece vocabulary and reports BLEU/ROUGE on decoded text plus
+sample generations. Runs on CPU so the TPU stays on the quality run;
+scaled-down towers, real corpus clips.
+
+Usage: python dev/multitask_caption_run.py [epochs]
+Writes docs/CAPTIONS.md + the run's val caption CSVs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+CORPUS = REPO / ".synth_corpus"
+RUN_DIR = REPO / ".caption_run"
+
+N_TRAIN, N_VAL = 480, 128
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import pandas as pd
+    import yaml
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.registry import RunnerRegistry, register_all
+
+    register_all()
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+
+    df = pd.read_csv(CORPUS / "data.csv", sep="α", engine="python")
+    sub = pd.concat([
+        df[df.Split == "train"].head(N_TRAIN),
+        df[df.Split == "val"].head(N_VAL),
+    ])
+    RUN_DIR.mkdir(parents=True, exist_ok=True)
+    sub_csv = RUN_DIR / "subset.csv"
+    sub.to_csv(sub_csv, sep="α", index=False)
+
+    cfg_d = dict(
+        pipeline_project="DeepCORO_multitask",
+        run_mode="train",
+        data_filename=str(sub_csv),
+        output_dir=str(RUN_DIR / "outputs"),
+        epochs=epochs, batch_size=8, frames=8, resize=112, stride=2,
+        num_workers=2, multi_video=False,
+        # small towers, REAL vocabulary (30522 activates assets/vocab.txt)
+        vit_dim=128, vit_depth=4, vit_heads=2, vit_patch=[2, 16, 16],
+        model_name="vit",  # no pool stages: the 7x7 grid does not halve
+        text_dim=128, text_depth=2, text_heads=2, text_vocab_size=30522,
+        max_text_length=48, embedding_dim=128, num_heads=4,
+        aggregator_depth=1,
+        decoder_dim=128, decoder_depth=2, decoder_heads=4,
+        decoder_max_length=48, mvm_decoder_dim=64, mvm_decoder_depth=1,
+        dropout=0.0, lr=1e-3, text_lr=1e-3,
+        scheduler_name="cosine_with_warmup",
+        precision="fp32", use_pallas_attention=False,
+        use_wandb=False, seed=0,
+        loss_weights={"contrastive": 1.0, "captioning": 1.0, "mvm": 0.5},
+    )
+    cfg_path = RUN_DIR / "config.yaml"
+    yaml.safe_dump(cfg_d, cfg_path.open("w"))
+    config = parse_config(["--base_config", str(cfg_path)])
+
+    t0 = time.perf_counter()
+    runner = RunnerRegistry.get(config.pipeline_project)(
+        config, output_dir=str(RUN_DIR / "run")
+    )
+    print("tokenizer:", type(runner.tokenizer).__name__, flush=True)
+    result = runner.train()
+    wall = time.perf_counter() - t0
+
+    # collect the last val caption CSV
+    caps = sorted((RUN_DIR / "run" / "val").glob("captions_epoch_*.csv"))
+    sample_rows = []
+    metrics = {}
+    if caps:
+        cdf = pd.read_csv(caps[-1])
+        sample_rows = cdf.head(8).to_dict("records")
+    hist = result.get("history", [])
+    if hist:
+        metrics = {k: v for k, v in hist[-1].items()
+                   if isinstance(v, (int, float))}
+
+    lines = [
+        "# CAPTIONS — multitask captioning with the real WordPiece vocabulary",
+        "",
+        "Round 2 scored captioning on hash-tokenizer id strings; with",
+        "`assets/vocab.txt` shipped, the multitask pipeline's generated",
+        "captions are REAL text. This run: contrastive + captioning + MVM on",
+        f"{N_TRAIN} synthetic-corpus clips (112x8 to fit CPU — the TPU was",
+        f"busy with the QUALITY run), {epochs} epochs, scaled-down towers,",
+        "WordPiece vocab 30522, KV-cache greedy decoding over the full val",
+        "split each epoch.",
+        "",
+        f"Wall: {wall:.0f} s (CPU). Final-epoch metrics:",
+        "",
+        "```json",
+        json.dumps(metrics, indent=2, default=float),
+        "```",
+        "",
+        "## Sample generations (last epoch)",
+        "",
+        "| reference report | generated |",
+        "|---|---|",
+    ]
+    for r in sample_rows:
+        ref = str(r.get("reference", ""))[:90]
+        gen = str(r.get("generated", ""))[:90]
+        lines.append(f"| {ref} | {gen} |")
+    lines += [
+        "",
+        f"Artifacts: `{caps[-1] if caps else 'none'}` (full val split).",
+    ]
+    (REPO / "docs" / "CAPTIONS.md").write_text("\n".join(lines) + "\n")
+    print(f"done in {wall:.0f}s; wrote docs/CAPTIONS.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -318,3 +318,51 @@ def test_multi_head_loss_parity(reference, rng):
             ref_losses[head].item(), rel=RTOL), head
     assert float(ours["main"]) == pytest.approx(
         ref_losses["main"].item(), rel=RTOL)
+
+
+def test_weighted_siglip_parity(reference, rng):
+    """The reference WeightedSigLIPLoss is a bidirectional weighted
+    log-softmax reduction over sim/temp (utils/loss/weighted_siglip.py:38-51),
+    fed positive_weights = targets * per-pair weights
+    (runners/video_constrative_learning_runner.py:1275-1283)."""
+    from utils.loss.weighted_siglip import WeightedSigLIPLoss
+
+    from deepcoro_clip_tpu.losses.contrastive import (
+        l2_normalize, weighted_siglip_loss,
+    )
+
+    B, M, D = 7, 11, 16
+    v, t = _emb(rng, B, D), _emb(rng, M, D)
+    pos = (rng.random((B, M)) < 0.3).astype(np.float32)
+    pos[np.arange(B), rng.integers(0, M, B)] = 1.0
+    w = rng.uniform(0.5, 4.0, size=(B, M)).astype(np.float32)
+    log_temp = -0.9
+
+    vn = np.asarray(l2_normalize(jnp.asarray(v)))
+    tn = np.asarray(l2_normalize(jnp.asarray(t)))
+    logits = torch.tensor(vn @ tn.T / np.exp(log_temp))
+    expected = WeightedSigLIPLoss()(logits, torch.tensor(pos * w)).item()
+
+    got = float(weighted_siglip_loss(
+        jnp.asarray(v), jnp.asarray(t), jnp.asarray(pos),
+        jnp.float32(log_temp), positive_weights=jnp.asarray(w))["loss"])
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_weighted_siglip_padded_matches_unpadded(rng):
+    from deepcoro_clip_tpu.losses.contrastive import weighted_siglip_loss
+
+    B, M, D, PAD = 5, 9, 12, 3
+    v, t = _emb(rng, B, D), _emb(rng, M, D)
+    pos = np.zeros((B, M), np.float32)
+    pos[np.arange(B), np.arange(B)] = 1.0
+    base = float(weighted_siglip_loss(
+        jnp.asarray(v), jnp.asarray(t), jnp.asarray(pos),
+        jnp.float32(-0.9))["loss"])
+    t_pad = np.concatenate([t, np.ones((PAD, D), np.float32)], 0)
+    pos_pad = np.concatenate([pos, np.zeros((B, PAD), np.float32)], 1)
+    valid = np.concatenate([np.ones(M), np.zeros(PAD)]).astype(np.float32)
+    padded = float(weighted_siglip_loss(
+        jnp.asarray(v), jnp.asarray(t_pad), jnp.asarray(pos_pad),
+        jnp.float32(-0.9), text_valid=jnp.asarray(valid))["loss"])
+    assert padded == pytest.approx(base, rel=1e-6)
