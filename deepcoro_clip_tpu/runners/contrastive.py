@@ -593,7 +593,8 @@ class VideoContrastiveLearningRunner:
             v_emb, t_emb[np.asarray(text_ids)]
         )
 
-        if self.multi_positive and self.siglip_resources is not None:
+        if (getattr(self, "multi_positive", False)
+                and getattr(self, "siglip_resources", None) is not None):
             # tree/segment/severity-aware panel (reference
             # utils/semantic_metrics.py:69-232) keyed here by text STRING —
             # metadata resolved through the siglip text catalog
