@@ -14,6 +14,7 @@ Writes docs/CAPTIONS.md + the run's val caption CSVs.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -65,11 +66,15 @@ def main():
         aggregator_depth=1,
         decoder_dim=128, decoder_depth=2, decoder_heads=4,
         decoder_max_length=48, mvm_decoder_dim=64, mvm_decoder_depth=1,
-        dropout=0.0, lr=1e-3, text_lr=1e-3,
+        dropout=0.0,
+        lr=float(os.environ.get("DEEPCORO_CAP_LR", "1e-3")), text_lr=1e-3,
         scheduler_name="cosine_with_warmup",
         precision="fp32", use_pallas_attention=False,
         use_wandb=False, seed=0,
-        loss_weights={"contrastive": 1.0, "captioning": 1.0, "mvm": 0.5},
+        # caption-focused weighting: the artifact this run exists for is
+        # readable generated text (contrastive/MVM coverage lives in the
+        # main quality + test suites)
+        loss_weights={"contrastive": 0.25, "captioning": 1.0, "mvm": 0.0},
     )
     cfg_path = RUN_DIR / "config.yaml"
     yaml.safe_dump(cfg_d, cfg_path.open("w"))
@@ -84,7 +89,8 @@ def main():
     wall = time.perf_counter() - t0
 
     # collect the last val caption CSV
-    caps = sorted((RUN_DIR / "run" / "val").glob("captions_epoch_*.csv"))
+    caps = sorted((RUN_DIR / "run" / "val").glob("captions_epoch_*.csv"),
+                  key=lambda p: int(p.stem.rsplit("_", 1)[-1]))
     sample_rows = []
     metrics = {}
     if caps:
