@@ -117,6 +117,24 @@ class VideoContrastiveLearningRunner:
     # setup
     # ------------------------------------------------------------------ #
 
+    @property
+    def siglip_runtime(self):
+        """One typed resolution of every siglip_* runtime knob (reference
+        utils/siglip/runtime_settings.py:14-199; see data/siglip_runtime.py).
+        Lazy so skeleton runners built by tests resolve it from their config
+        on first touch."""
+        rt = getattr(self, "_siglip_runtime", None)
+        if rt is None:
+            from deepcoro_clip_tpu.data.siglip_runtime import (
+                SiglipRuntimeSettings,
+            )
+
+            rt = SiglipRuntimeSettings.from_config(
+                self.config, str(getattr(self, "output_dir", "."))
+            )
+            self._siglip_runtime = rt
+        return rt
+
     def _build_datasets(self) -> Dict[str, Any]:
         cfg = self.config
         common = dict(
@@ -151,17 +169,19 @@ class VideoContrastiveLearningRunner:
             )
             self.siglip_resources = resources
 
+            sampling = self.siglip_runtime.sampling
+
             def make(split, augment=False):
                 return SiglipVideoDataset(
                     split=split, rand_augment=augment,
                     siglip=resources,
-                    max_positive_per_video=cfg.siglip_max_positive_per_video,
-                    negatives_per_video=cfg.siglip_negatives_per_video,
-                    round_robin=cfg.siglip_round_robin_sampling,
-                    max_segments_per_video=cfg.siglip_max_segments_per_video,
-                    contradiction_boost=cfg.siglip_contradiction_boost,
+                    max_positive_per_video=sampling.max_positive_per_video,
+                    negatives_per_video=sampling.negatives_per_video,
+                    round_robin=sampling.round_robin,
+                    max_segments_per_video=sampling.max_segments_per_video,
+                    contradiction_boost=sampling.contradiction_boost,
                     contradiction_min_severity=(
-                        cfg.siglip_contradiction_min_severity
+                        sampling.contradiction_min_severity
                     ),
                     **common,
                 )
@@ -246,14 +266,15 @@ class VideoContrastiveLearningRunner:
         if dataset is None:
             return None
         cfg = self.config
-        if training and cfg.siglip_use_class_aware_sampler and hasattr(
+        sampling = self.siglip_runtime.sampling
+        if training and sampling.use_class_aware_sampler and hasattr(
             dataset, "abnormal_labels"
         ):
             from deepcoro_clip_tpu.data.sampler import ClassAwareBatchSampler
 
             sampler = ClassAwareBatchSampler(
                 dataset.abnormal_labels(), cfg.batch_size,
-                abnormal_ratio=cfg.siglip_abnormal_ratio, seed=cfg.seed,
+                abnormal_ratio=sampling.abnormal_ratio, seed=cfg.seed,
                 process_index=cfg.process_index,
                 process_count=cfg.process_count,
             )
@@ -405,9 +426,7 @@ class VideoContrastiveLearningRunner:
             # knobs, runner :1337-1383)
             if (
                 self.multi_positive
-                and self.config.siglip_debug_batches > 0
-                and epoch % max(1, self.config.siglip_debug_every) == 0
-                and i < self.config.siglip_debug_batches
+                and self.siglip_runtime.debug.fires(epoch, i)
                 and self.config.is_ref_device
             ):
                 self._siglip_debug_dump(epoch, i, batch, device_batch, metrics)
