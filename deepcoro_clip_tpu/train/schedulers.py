@@ -29,6 +29,7 @@ def get_scheduler(
     num_hard_restarts_cycles: float = 1.0,
     warm_restart_tmult: int = 2,
     gradient_accumulation_steps: int = 1,
+    num_restarts: int = 10,
 ) -> optax.Schedule:
     # All schedules are evaluated at the OPTIMIZER-update count (with
     # optax.MultiSteps that is gradient_step, which only advances once per
@@ -52,8 +53,12 @@ def get_scheduler(
         return sched
 
     if name == "cosine_warm_restart":
-        # SGDR with T_0 derived from cycle count (reference: utils/schedulers.py)
-        t0 = max(1, int(total / max(num_hard_restarts_cycles, 1e-6)))
+        # SGDR with T_0 derived from the desired restart count, exactly the
+        # reference's rule (utils/schedulers.py:66: T_0 = t_total//num_restarts
+        # if t_total > num_restarts else t_total; num_restarts defaults to 10
+        # and no config carries it)
+        t0 = (max(1, total // max(1, num_restarts))
+              if total > num_restarts else total)
         schedules = []
         boundaries = []
         t, start = t0, 0
@@ -65,7 +70,14 @@ def get_scheduler(
         return optax.join_schedules(schedules, boundaries[:-1])
 
     if name == "linear_warmup":
-        return optax.schedules.linear_schedule(0.0, lr, warmup)
+        # linear 0→lr over warmup, then linear decay to 0 at total — HF's
+        # get_linear_schedule_with_warmup, which is what the reference's
+        # "linear_warmup" builds (utils/schedulers.py:76-84)
+        return optax.join_schedules(
+            [optax.schedules.linear_schedule(0.0, lr, warmup),
+             optax.schedules.linear_schedule(lr, 0.0, max(1, total - warmup))],
+            [warmup],
+        )
 
     if name == "cosine_with_warmup":
         return optax.warmup_cosine_decay_schedule(

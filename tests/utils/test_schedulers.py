@@ -30,11 +30,15 @@ def test_warmup_then_cosine():
     assert float(s(99)) < 0.01
 
 
-def test_linear_warmup_holds_peak():
+def test_linear_warmup_then_linear_decay():
+    # HF get_linear_schedule_with_warmup shape (reference
+    # utils/schedulers.py:76-84): up to lr over warmup, then down to 0
     s = get_scheduler("linear_warmup", 2.0, steps_per_epoch=10, epochs=10,
                       num_warmup_percent=0.1)
     assert float(s(5)) == pytest.approx(1.0, rel=1e-6)
-    assert float(s(50)) == pytest.approx(2.0)
+    assert float(s(10)) == pytest.approx(2.0)
+    assert float(s(55)) == pytest.approx(1.0)   # halfway down
+    assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
 
 
 def test_hard_restarts_cycle():
