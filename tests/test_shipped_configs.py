@@ -136,6 +136,36 @@ def test_inference_catalog_covers_measured_artifacts():
         "inference/study_retrieval_latency.yaml",
         "inference/embedding_extraction.yaml",
         "inference/stenosis70_probing_val.yaml",
+        "multitask/caption_run.yaml",
     ]
     for rel in needed:
         assert (REPO / "config" / rel).exists(), rel
+
+
+def test_caption_config_frozen_in_sync():
+    """config/multitask/caption_run.yaml must match the recipe
+    dev/multitask_caption_run.py builds (docs/CAPTIONS.md artifact)."""
+    import yaml
+
+    frozen = yaml.safe_load(
+        (REPO / "config" / "multitask" / "caption_run.yaml").read_text()
+    )
+    assert frozen["pipeline_project"] == "DeepCORO_multitask"
+    assert frozen["loss_weights"] == {
+        "captioning": 1.0, "contrastive": 0.25, "mvm": 0.0}
+    assert frozen["text_vocab_size"] == 30522  # activates assets/vocab.txt
+    assert frozen["scheduler_name"] == "cosine_with_warmup"
+    # parses through the real config stack
+    import sys
+    import tempfile
+
+    sys.modules.pop("_stub", None)
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.registry import register_all
+
+    register_all()
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml") as f:
+        yaml.safe_dump(frozen, f)
+        f.flush()
+        cfg = parse_config(["--base_config", f.name])
+    assert cfg.lr == 0.002 and cfg.decoder_dim == 128
