@@ -181,6 +181,14 @@ def main() -> None:
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
         record["step_tflops"] = round(flops / 1e12, 2)
+    # Throughput uses synthetic token ids, but quality artifacts depend on
+    # which tokenizer the library resolves — record it (VERDICT r2 #2).
+    try:
+        from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
+
+        record["tokenizer"] = type(get_tokenizer(max_length=text_len)).__name__
+    except Exception:
+        pass
     print(json.dumps(record))
 
 

@@ -92,6 +92,26 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
         "compile in epoch 0's chunk).",
         "",
     ]
+    # Convergence: where does R@1 plateau? (VERDICT r2 #4)
+    r1 = [h.get("val_Recall@1") for h in hist]
+    if len([x for x in r1 if x is not None]) >= 6:
+        vals = [x if x is not None else 0.0 for x in r1]
+        best = max(vals)
+        reach = next(i for i, v in enumerate(vals) if v >= 0.95 * best)
+        tail = vals[-5:]
+        slope = (tail[-1] - tail[0]) / 4
+        trend = ("flat" if abs(slope) < 0.005
+                 else ("still rising" if slope > 0 else "declining"))
+        lines += [
+            "## Convergence",
+            "",
+            f"R@1 first reaches 95% of its best ({best:.3f}) at epoch "
+            f"{reach}; the mean per-epoch change over the last 5 epochs is "
+            f"{slope:+.4f} ({trend}). Epoch-to-epoch R@1 jitter at this "
+            "val-set size (1024 videos) is ~±0.02, so per-epoch rows should "
+            "be read against R@5/MedianRank, which move monotonically.",
+            "",
+        ]
     if len(runs) > 1:
         lines += [
             "## Seed variance (same corpus, independent init + data order)",

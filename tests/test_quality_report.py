@@ -1,0 +1,74 @@
+"""QUALITY.md writer smoke test (dev/_quality_report.py).
+
+Fabricates two seed run dirs and checks that the report carries the
+convergence analysis, the seed-variance table, per-epoch wall time, and
+the tokenizer statement (VERDICT r2 #2/#4 evidence surface).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def _fake_history(n, r1_final):
+    hist = []
+    for i in range(n):
+        frac = (i + 1) / n
+        hist.append({
+            "epoch": i,
+            "loss": 2.5 * (1 - frac) + 0.3,
+            "val_loss": 2.2 * (1 - frac) + 0.3,
+            "val_Recall@1": r1_final * frac,
+            "val_Recall@5": min(0.95, 3 * r1_final * frac),
+            "val_Recall@10": min(0.99, 4 * r1_final * frac),
+            "val_MedianRank": max(2.0, 60.0 * (1 - frac)),
+            "epoch_seconds": 600.0,
+        })
+    return hist
+
+
+def _write_seed(repo: Path, seed: int, n_epochs: int, r1: float):
+    art = repo / f".quality_run_v2_s{seed}" / "artifacts"
+    art.mkdir(parents=True)
+    (art / "train.json").write_text(json.dumps({
+        "history": _fake_history(n_epochs, r1),
+        "wall_seconds": 600.0 * n_epochs,
+        "config": {"epochs": n_epochs, "batch_size": 16, "lr": 1e-4,
+                   "max_text_length": 128, "seed": seed,
+                   "tokenizer": "WordPieceTokenizer"},
+    }))
+    (art / "tiers.json").write_text(json.dumps({
+        "1-finding": {"Recall@1": 0.4, "Recall@5": 0.9, "Recall@10": 0.95,
+                      "MedianRank": 2.0},
+        "3-findings-ood": {"Recall@1": 0.1, "Recall@5": 0.4,
+                           "Recall@10": 0.6, "MedianRank": 8.0},
+    }))
+    (art / "scaling.json").write_text(json.dumps({
+        "recipe_B16_lr0.0001": {"final": 1.1, "ln_B": 2.773,
+                                "escaped_plateau": True},
+        "B16_lr0.0001": {"final": 2.773, "ln_B": 2.773,
+                         "escaped_plateau": False},
+    }))
+
+
+def test_report_writes_convergence_and_seed_variance(tmp_path):
+    from dev._quality_report import write_report
+
+    (tmp_path / "docs").mkdir()
+    _write_seed(tmp_path, 0, 25, 0.30)
+    _write_seed(tmp_path, 1, 10, 0.20)
+    write_report(tmp_path, 6000, 1024, 16, 128)
+
+    md = (tmp_path / "QUALITY.md").read_text()
+    assert "WordPieceTokenizer" in md
+    assert "## Convergence" in md
+    assert "95% of its best" in md
+    assert "## Seed variance" in md
+    assert "| 1 | 10 |" in md  # second-seed row present
+    assert "3-findings-ood" in md
+    assert "wall s" in md  # per-epoch wall-time column
+    assert (tmp_path / "docs" / "quality_curves.png").exists()
