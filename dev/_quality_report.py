@@ -17,6 +17,27 @@ def _load(p: Path):
     return json.loads(p.read_text()) if p.exists() else {}
 
 
+def _history_from_metrics(run_dir: Path) -> list[dict]:
+    """Per-epoch history straight from a run's metrics.jsonl — lets a seed
+    that hasn't finished stage_train (no train.json yet) still report its
+    completed epochs."""
+    hist: dict = {}
+    for mj in run_dir.glob("outputs/**/metrics.jsonl"):
+        for line in mj.read_text().splitlines():
+            d = json.loads(line)
+            step = d.get("step")
+            if "train/loss" in d:
+                hist.setdefault(step, {})["loss"] = d["train/loss"]
+                if "train/epoch_seconds" in d:
+                    hist[step]["epoch_seconds"] = d["train/epoch_seconds"]
+            if "val/loss" in d:
+                e = hist.setdefault(step, {})
+                for k, v in d.items():
+                    if k.startswith("val/"):
+                        e["val_" + k[4:]] = v
+    return [hist[e] | {"epoch": e} for e in sorted(hist) if "loss" in hist[e]]
+
+
 def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                  text_len: int) -> None:
     runs = {}
@@ -29,6 +50,16 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 "tiers": _load(d / "artifacts" / "tiers.json"),
                 "scaling": _load(d / "artifacts" / "scaling.json"),
             }
+        else:
+            hist = _history_from_metrics(d)
+            if hist:
+                runs[seed] = {
+                    "train": {"history": hist,
+                              "wall_seconds": round(sum(
+                                  h.get("epoch_seconds", 0) for h in hist), 1),
+                              "config": {"partial": True}},
+                    "tiers": {}, "scaling": {},
+                }
     if not runs:
         raise SystemExit("no .quality_run_v2_s*/artifacts/train.json found")
     primary = "0" if "0" in runs else sorted(runs)[0]

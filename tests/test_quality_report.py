@@ -55,12 +55,32 @@ def _write_seed(repo: Path, seed: int, n_epochs: int, r1: float):
     }))
 
 
+def _write_partial_seed(repo: Path, seed: int, n_epochs: int, r1: float):
+    """A seed mid-run: no artifacts/train.json, only the runner's
+    metrics.jsonl — exercises the _history_from_metrics fallback."""
+    out = repo / f".quality_run_v2_s{seed}" / "outputs" / "proj" / "run"
+    out.mkdir(parents=True)
+    lines = []
+    for h in _fake_history(n_epochs, r1):
+        ep = h.pop("epoch")
+        lines.append(json.dumps({
+            "step": ep, "train/loss": h["loss"],
+            "train/epoch_seconds": h["epoch_seconds"]}))
+        lines.append(json.dumps({
+            "step": ep, "val/loss": h["val_loss"],
+            "val/Recall@1": h["val_Recall@1"],
+            "val/Recall@5": h["val_Recall@5"],
+            "val/Recall@10": h["val_Recall@10"],
+            "val/MedianRank": h["val_MedianRank"]}))
+    (out / "metrics.jsonl").write_text("\n".join(lines))
+
+
 def test_report_writes_convergence_and_seed_variance(tmp_path):
     from dev._quality_report import write_report
 
     (tmp_path / "docs").mkdir()
     _write_seed(tmp_path, 0, 25, 0.30)
-    _write_seed(tmp_path, 1, 10, 0.20)
+    _write_partial_seed(tmp_path, 1, 10, 0.20)
     write_report(tmp_path, 6000, 1024, 16, 128)
 
     md = (tmp_path / "QUALITY.md").read_text()
