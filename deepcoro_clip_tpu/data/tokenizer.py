@@ -198,7 +198,11 @@ def get_tokenizer(
 
         tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
         tok.model_max_length = max_length
-        return tok
+        # same fit-guard as the local-vocab path below: the embedding table
+        # is sized by ``vocab_size``, and a tokenizer with a larger vocab
+        # would emit out-of-range ids (tiny test configs)
+        if tok.vocab_size <= vocab_size:
+            return tok
     except Exception:
         pass
     vocab = find_local_vocab(name)

@@ -182,9 +182,13 @@ def siglip_multi_positive_loss(
         w = w * jnp.where(pos > 0, positive_weights.astype(jnp.float32), 1.0)
     if auto_balance:
         # per-ROW neg/pos ratio, clamped >= 1, REPLACES the positive weight
-        # (reference :293-300: positive_contrib = ratio.expand_as(logits))
+        # (reference :293-300: positive_contrib = ratio.expand_as(logits)).
+        # Negatives are counted over VALID text columns only: the reference's
+        # text bank is unpadded, so padded slots must not inflate the ratio.
         n_pos = jnp.maximum(pos.sum(axis=1, keepdims=True), 1.0)
-        n_neg = pos.shape[1] - n_pos
+        n_cols = (text_valid.astype(jnp.float32).sum()
+                  if text_valid is not None else float(pos.shape[1]))
+        n_neg = jnp.maximum(n_cols - n_pos, 0.0)
         ratio = jnp.maximum(n_neg / n_pos, 1.0)
         w = jnp.where(pos > 0, jnp.broadcast_to(ratio, w.shape),
                       negative_loss_weight)

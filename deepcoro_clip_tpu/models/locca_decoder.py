@@ -139,15 +139,27 @@ class LocCaDecoder(nn.Module):
         memory = video_tokens.astype(self.dtype)
         if self.token_grid is not None:
             coords = grid_coordinates(self.token_grid, self.n_special_tokens)
-            if coords.shape[0] == memory.shape[1]:
-                # learned location embedding per token, added in vision space
-                loc = nn.Dense(
-                    self.memory_dim, dtype=self.dtype,
-                    param_dtype=jnp.float32,
-                    kernel_init=nn.initializers.normal(0.02),
-                    name="coord_emb",
-                )(jnp.asarray(coords))
-                memory = memory + loc[None, :, :]
+            Lc, Lm = coords.shape[0], memory.shape[1]
+            if Lm % Lc != 0:
+                # location conditioning is the module's purpose — a silent
+                # skip would train a plain decoder while the config says
+                # LocCa is on. Shapes are static, so fail at trace time.
+                raise ValueError(
+                    f"LocCaDecoder token_grid {self.token_grid} (+"
+                    f"{self.n_special_tokens} special) gives {Lc} coords, "
+                    f"but memory has {Lm} tokens (not a multiple); check "
+                    "locca_token_grid against the backbone's grid")
+            # learned location embedding per token, added in vision space;
+            # multi-video memory [B, N*L, D] repeats the per-video grid N×
+            loc = nn.Dense(
+                self.memory_dim, dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02),
+                name="coord_emb",
+            )(jnp.asarray(coords))
+            if Lm != Lc:
+                loc = jnp.tile(loc, (Lm // Lc, 1))
+            memory = memory + loc[None, :, :]
 
         for i in range(self.depth):
             x = LocCaDecoderLayer(
@@ -169,9 +181,11 @@ def locca_token_grid(config) -> Tuple[Tuple[int, int, int], int]:
     count, derived from the config (each pool stage halves H and W —
     models/video_encoder.py:_pool_tokens)."""
     pt, ph, pw = tuple(config.vit_patch)
-    T = config.frames // pt
-    H = config.resize // ph
-    W = config.resize // pw
+    # ceil division: PatchEmbed3D right-pads non-divisible inputs up to a
+    # whole patch grid (models/layers.py), so the grid must round UP too
+    T = -(-config.frames // pt)
+    H = -(-config.resize // ph)
+    W = -(-config.resize // pw)
     for _ in tuple(config.vit_pool_stages or ()):
         H //= 2
         W //= 2

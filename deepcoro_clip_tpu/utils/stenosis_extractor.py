@@ -87,6 +87,11 @@ _PCT = re.compile(
 def _pct_value(tok: str) -> float:
     return float(tok.replace(" ", ""))
 _CTO = re.compile(r"\b(cto|chronic total occlusion|total(?:ly)? occlu\w*)\b")
+# nouns that make a clause a stenotic finding (gates the severity-keyword
+# -> percent fallback; calcification/tortuosity adjectives must not count)
+_DISEASE_NOUN = re.compile(
+    r"\b(stenosis|stenotic|restenosis|lesion|narrowing|blocked|occlu\w*"
+    r"|disease)\b")
 
 
 @dataclass
@@ -162,7 +167,16 @@ class StenosisExtractor:
                 (k for k in SEVERITY_KEYWORDS if k in clause), None
             )
             if pct is None and severity_kw is not None:
-                pct = SEVERITY_KEYWORDS[severity_kw]
+                # a severity ADJECTIVE only becomes a percent when the clause
+                # actually describes a stenotic finding — "moderate
+                # calcifications in the mid lad" must not fabricate a 55%
+                # lesion (the reference's patterns all require the literal
+                # word "stenosis"; utils/stenosis_extractor.py:146-168).
+                # normal/occlusion terms are standalone findings themselves.
+                standalone = severity_kw in (
+                    "normal", "occluded", "occlusion", "subtotal")
+                if standalone or _DISEASE_NOUN.search(clause):
+                    pct = SEVERITY_KEYWORDS[severity_kw]
             if cto and pct is None:
                 pct = 100.0
 

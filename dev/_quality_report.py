@@ -108,13 +108,7 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
             f"| {h.get('val_Recall@5', float('nan')):.3f} "
             f"| {h.get('val_Recall@10', float('nan')):.3f} "
             f"| {h.get('val_MedianRank', float('nan')):.1f} "
-            f"| {es:.0f} |" if es else
-            f"| {i} | {h.get('loss', float('nan')):.4f} "
-            f"| {h.get('val_loss', float('nan')):.4f} "
-            f"| {h.get('val_Recall@1', float('nan')):.3f} "
-            f"| {h.get('val_Recall@5', float('nan')):.3f} "
-            f"| {h.get('val_Recall@10', float('nan')):.3f} "
-            f"| {h.get('val_MedianRank', float('nan')):.1f} | n/a |"
+            + (f"| {es:.0f} |" if es else "| n/a |")
         )
     lines += [
         "",

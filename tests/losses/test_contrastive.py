@@ -85,6 +85,33 @@ def test_multi_positive_masks_and_weights():
     np.testing.assert_allclose(float(out["loss"]), float(out2["loss"]), rtol=1e-6)
 
 
+def test_auto_balance_ignores_padded_columns():
+    """auto_balance's neg/pos ratio must count VALID text columns only:
+    padding the bank from M to M+K (text_valid marking the pads) must not
+    change the loss (regression: n_neg used pos.shape[1])."""
+    B, M, K, D = 4, 10, 6, 16
+    r = np.random.default_rng(1)
+    v = jnp.asarray(r.normal(size=(B, D)).astype(np.float32))
+    t = jnp.asarray(r.normal(size=(M, D)).astype(np.float32))
+    pos = (r.random((B, M)) > 0.6).astype(np.float32)
+    pos[np.arange(B), np.arange(B)] = 1.0
+    base = siglip_multi_positive_loss(
+        v, t, jnp.asarray(pos), jnp.log(0.1), jnp.float32(-10.0),
+        auto_balance=True,
+        text_valid=jnp.ones((M,), jnp.float32),
+    )
+    t_pad = jnp.concatenate([t, jnp.full((K, D), 7.0)], axis=0)
+    pos_pad = jnp.concatenate(
+        [jnp.asarray(pos), jnp.zeros((B, K))], axis=1)
+    valid = jnp.asarray(np.array([1] * M + [0] * K, np.float32))
+    padded = siglip_multi_positive_loss(
+        v, t_pad, pos_pad, jnp.log(0.1), jnp.float32(-10.0),
+        auto_balance=True, text_valid=valid,
+    )
+    np.testing.assert_allclose(
+        float(base["loss"]), float(padded["loss"]), rtol=1e-6)
+
+
 def test_multi_positive_perfect_vs_random():
     B, D = 6, 16
     r = np.random.default_rng(3)

@@ -121,6 +121,43 @@ def test_location_conditioning_beats_generic_decoder():
     assert acc_locca > acc_generic + 0.4
 
 
+def test_multi_video_memory_tiles_coordinates():
+    """Multi-video memory [B, N*L, D] must still be conditioned (the
+    per-video grid repeats N times); a non-multiple token count must fail
+    loudly rather than silently train an unconditioned decoder."""
+    dec = LocCaDecoder(vocab_size=VOCAB, dim=32, depth=1, num_heads=2,
+                       max_length=L, memory_dim=DV, dropout=0.0,
+                       dtype=jnp.float32, use_flash=False,
+                       token_grid=GRID, n_special_tokens=0)
+    ids = jnp.zeros((2, L), jnp.int32)
+    mem2 = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2 * LV, DV)),
+                       jnp.float32)
+    vars2 = dec.init({"params": jax.random.PRNGKey(0)}, ids, mem2)
+    out = dec.apply(vars2, ids, mem2, deterministic=True)
+    assert out.shape == (2, L, VOCAB)
+    # conditioning actually applied: permuting the second video's tokens
+    # changes the output (pure content-attention would too, but a zeroed
+    # coord_emb would make the two videos' identical contents collapse)
+    coord = vars2["params"]["coord_emb"]["kernel"]
+    assert float(jnp.abs(coord).sum()) > 0.0
+
+    mem_bad = mem2[:, : 2 * LV - 3]
+    with pytest.raises(ValueError, match="coords"):
+        dec.init({"params": jax.random.PRNGKey(0)}, ids, mem_bad)
+
+
+def test_locca_token_grid_rounds_up_like_patchify():
+    """PatchEmbed3D right-pads non-divisible inputs to a whole grid, so the
+    coord grid must use ceil division (frames=15 with pt=2 -> T=8)."""
+    from deepcoro_clip_tpu.flagship import flagship_config
+
+    cfg = flagship_config()
+    cfg.frames = 15
+    cfg.vit_pool_stages = ()
+    grid, _ = locca_token_grid(cfg)
+    assert grid[0] == -(-15 // cfg.vit_patch[0])
+
+
 def test_greedy_generation_works_with_locca_decoder():
     from deepcoro_clip_tpu.models.captioning_decoder import greedy_generate
 

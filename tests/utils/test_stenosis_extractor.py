@@ -64,3 +64,18 @@ def test_extractor_cto_and_keyword_paths():
     f = ex.extract("Chronic total occlusion of the mid RCA. The LAD is normal.")
     assert f["mid_rca"].cto and f["mid_rca"].severity == "critical"
     assert f["lad"].severity == "normal"
+
+
+def test_severity_adjective_without_disease_noun_is_not_a_lesion():
+    """'moderate calcifications in the mid LAD' must not fabricate a 55%
+    stenosis: the reference's patterns all require the literal word
+    'stenosis' (utils/stenosis_extractor.py:146-168). The adjective still
+    counts when the clause has a disease noun."""
+    ex = StenosisExtractor()
+    f = ex.extract("Moderate calcifications in the mid LAD.")
+    assert "mid_lad" not in f or f["mid_lad"].percent is None
+
+    f2 = ex.extract("Moderate stenosis of the mid LAD.")
+    assert f2["mid_lad"].severity == "moderate"
+    f3 = ex.extract("The mid RCA shows severe narrowing.")
+    assert f3["mid_rca"].severity == "severe"
