@@ -79,7 +79,53 @@ def rouge_l(candidates: List[str], references: List[str]) -> float:
     return float(sum(f1s) / max(len(f1s), 1))
 
 
+def _meteor_align(c: List[str], r: List[str]) -> tuple:
+    """Greedy in-order exact alignment (nltk's exact stage): each candidate
+    token maps to the leftmost unused identical reference token. Returns
+    (matches, chunks) where chunks counts contiguous mapped spans."""
+    used = [False] * len(r)
+    pairs = []  # (cand_idx, ref_idx)
+    for i, tok in enumerate(c):
+        for j, rt in enumerate(r):
+            if not used[j] and rt == tok:
+                used[j] = True
+                pairs.append((i, j))
+                break
+    if not pairs:
+        return 0, 0
+    chunks = 1
+    for (pi, pj), (ci_, cj) in zip(pairs, pairs[1:]):
+        if ci_ != pi + 1 or cj != pj + 1:
+            chunks += 1
+    return len(pairs), chunks
+
+
+def meteor(candidates: List[str], references: List[str]) -> float:
+    """Mean sentence-level METEOR, exact-match stage only (no Porter stems /
+    WordNet synonyms — neither nltk nor its corpora exist in this image;
+    reference runners/multitask_runner.py:1356-1503 uses
+    nltk.translate.meteor_score). Standard parameters: harmonic mean
+    F = 10PR/(R+9P), fragmentation penalty 0.5*(chunks/matches)^3."""
+    scores = []
+    for cand, ref in zip(candidates, references):
+        c = str(cand).lower().split()
+        r = str(ref).lower().split()
+        if not c or not r:
+            scores.append(0.0)
+            continue
+        m, ch = _meteor_align(c, r)
+        if m == 0:
+            scores.append(0.0)
+            continue
+        p, rec = m / len(c), m / len(r)
+        fmean = 10 * p * rec / (rec + 9 * p)
+        penalty = 0.5 * (ch / m) ** 3
+        scores.append(fmean * (1 - penalty))
+    return float(sum(scores) / max(len(scores), 1))
+
+
 def captioning_metrics(candidates: List[str], references: List[str]) -> Dict[str, float]:
     out = corpus_bleu(candidates, references)
     out["rouge_l"] = rouge_l(candidates, references)
+    out["meteor"] = meteor(candidates, references)
     return out
