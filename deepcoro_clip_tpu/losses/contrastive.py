@@ -255,10 +255,12 @@ def weighted_siglip_loss(
 @LossRegistry.register("multi_positive_infonce")
 def multi_positive_infonce_loss(
     video_emb, text_emb, positive_mask, log_temp,
-    positive_weights=None, text_valid=None, **kw,
+    positive_weights=None, text_valid=None, sample_mask=None, **kw,
 ) -> Dict[str, jax.Array]:
     """Softmax CE spread over multiple positives (reference
-    MultiPositiveInfoNCELoss, utils/loss/multi_positive_infonce.py:9-120)."""
+    MultiPositiveInfoNCELoss, utils/loss/multi_positive_infonce.py:9-120).
+    ``sample_mask`` [B] excludes device-padding duplicate rows, like the
+    siglip_* paths."""
     v = l2_normalize(video_emb)
     t = l2_normalize(text_emb)
     temp = jnp.maximum(jnp.exp(log_temp), 1e-4)
@@ -271,6 +273,8 @@ def multi_positive_infonce_loss(
         pos = pos * positive_weights.astype(jnp.float32)
     row_pos = jnp.maximum(pos.sum(axis=-1), 1e-6)
     loss = -(jnp.sum(pos * logp, axis=-1) / row_pos)
-    has_pos = positive_mask.sum(axis=-1) > 0
+    has_pos = (positive_mask.sum(axis=-1) > 0).astype(jnp.float32)
+    if sample_mask is not None:
+        has_pos = has_pos * sample_mask.astype(jnp.float32)
     loss = jnp.sum(loss * has_pos) / jnp.maximum(jnp.sum(has_pos), 1.0)
     return {"loss": loss, "similarity": sim, "temperature": temp}

@@ -31,11 +31,11 @@ import numpy as np
 import pandas as pd
 
 from deepcoro_clip_tpu.data.collate import collate_clip, collate_multi_positive
-from deepcoro_clip_tpu.data.datasets import StatsDataset, VideoClipDataset
+from deepcoro_clip_tpu.data.datasets import VideoClipDataset
 from deepcoro_clip_tpu.data.loader import PrefetchLoader
 from deepcoro_clip_tpu.data.sampler import ShardedBatchSampler
 from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
-from deepcoro_clip_tpu.parallel.mesh import make_mesh, MeshSpec
+from deepcoro_clip_tpu.runners.common import make_runner_mesh, resolve_dataset_stats
 from deepcoro_clip_tpu.registry import RunnerRegistry
 from deepcoro_clip_tpu.train import clip as clip_train
 from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
@@ -62,18 +62,7 @@ class VideoContrastiveLearningRunner:
     ):
         self.config = config
         self.output_dir = Path(output_dir or config.output_dir)
-        if mesh is None:
-            # data axis must divide the global batch for exact (unpadded)
-            # training batches; shrink it to the gcd when needed
-            import jax as _jax
-            import math as _math
-
-            model = max(1, config.mesh_model)
-            avail = _jax.device_count() // model
-            data = config.mesh_data if config.mesh_data > 0 else avail
-            data = _math.gcd(data, config.batch_size) or 1
-            mesh = make_mesh(MeshSpec(data=data, model=model))
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else make_runner_mesh(config)
         self.tokenizer = get_tokenizer(
             vocab_size=config.text_vocab_size, max_length=config.max_text_length
         )
@@ -203,32 +192,9 @@ class VideoContrastiveLearningRunner:
         return out
 
     def _resolve_stats(self) -> None:
-        """Dataset mean/std: config override or computed from the train split
-        (reference: utils/video_project.py:10-101; inference REQUIRES
-        precomputed stats, :38-43)."""
-        cfg = self.config
-        mean = cfg.dataset_mean or cfg.data_mean
-        std = cfg.dataset_std or cfg.data_std
-        if mean is None:
-            train = self.datasets.get("train")
-            if train is None:
-                raise ValueError(
-                    "dataset_mean/dataset_std must be provided for "
-                    f"run_mode={cfg.run_mode!r} (reference requires precomputed "
-                    "stats outside training)"
-                )
-            mean, std = StatsDataset(train).compute()
-            mean, std = mean.tolist(), std.tolist()
-        self.stats = (list(map(float, mean)), list(map(float, std)))
-        # The train step normalizes uint8-wire batches on-device with these
-        # stats (ops/pixels.py); the bundle reads them from the config, so
-        # they must be resolved before build_clip_bundle runs.
-        cfg.dataset_mean, cfg.dataset_std = self.stats
-        if cfg.wire_dtype == "float32":
-            # host normalization (reference behavior)
-            for ds in self.datasets.values():
-                if ds is not None:
-                    ds.mean, ds.std = self.stats
+        # must run before build_clip_bundle: the uint8 wire's patchify fold
+        # reads cfg.dataset_mean/std at bundle-build time
+        self.stats = resolve_dataset_stats(self.config, self.datasets)
 
     def _collate(self, items):
         cfg = self.config
@@ -333,6 +299,8 @@ class VideoContrastiveLearningRunner:
                 "alignment": val_metrics.get("alignment"),
                 "temperature": train_metrics.get("temperature"),
                 "best_val_loss": self.best_val_loss,
+                "best_epoch": self.best_epoch,
+                "highest_alignment": self.highest_alignment,
                 "dataset_mean": self.stats[0],
                 "dataset_std": self.stats[1],
             }
@@ -344,6 +312,7 @@ class VideoContrastiveLearningRunner:
                 self.best_val_loss = float(val_loss)
                 self.best_epoch = epoch
                 meta["best_val_loss"] = self.best_val_loss
+                meta["best_epoch"] = self.best_epoch
                 patience_left = cfg.early_stopping_patience or math.inf
             else:
                 patience_left -= 1
@@ -353,6 +322,7 @@ class VideoContrastiveLearningRunner:
             )
             if new_alignment:
                 self.highest_alignment = float(align)
+                meta["highest_alignment"] = self.highest_alignment
 
             if self.config.is_ref_device:
                 self.ckpt.save_latest(self.state, meta)
@@ -758,5 +728,10 @@ class VideoContrastiveLearningRunner:
             self.state = self.ckpt.restore(self.state, "checkpoint")
             meta = self.ckpt.load_meta("checkpoint") or {}
             self.best_val_loss = float(meta.get("best_val_loss", math.inf))
+            self.best_epoch = int(meta.get("best_epoch", -1))
+            # without this, the first post-resume epoch would overwrite and
+            # prune the genuinely highest-alignment checkpoint
+            self.highest_alignment = float(
+                meta.get("highest_alignment", -math.inf))
             self.start_epoch = int(meta.get("epoch", -1)) + 1
         return self.start_epoch

@@ -19,10 +19,10 @@ import numpy as np
 import pandas as pd
 
 from deepcoro_clip_tpu.data.collate import collate_mil
-from deepcoro_clip_tpu.data.datasets import StatsDataset, VideoDataset
+from deepcoro_clip_tpu.data.datasets import VideoDataset
 from deepcoro_clip_tpu.data.loader import PrefetchLoader
 from deepcoro_clip_tpu.data.sampler import ShardedBatchSampler
-from deepcoro_clip_tpu.parallel.mesh import MeshSpec, make_mesh
+from deepcoro_clip_tpu.runners.common import make_runner_mesh, resolve_dataset_stats
 from deepcoro_clip_tpu.registry import RunnerRegistry
 from deepcoro_clip_tpu.train import linear_probe as probe_train
 from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
@@ -36,15 +36,7 @@ class LinearProbingRunner:
                  encoder_params=None, datasets: Optional[Dict[str, Any]] = None):
         self.config = config
         self.output_dir = Path(output_dir or config.output_dir)
-        if mesh is None:
-            import math as _math
-
-            model = max(1, config.mesh_model)
-            avail = jax.device_count() // model
-            data = config.mesh_data if config.mesh_data > 0 else avail
-            data = _math.gcd(data, config.batch_size) or 1
-            mesh = make_mesh(MeshSpec(data=data, model=model))
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else make_runner_mesh(config)
 
         if encoder_params is None and config.video_encoder_checkpoint_path:
             encoder_params = self._load_encoder_checkpoint(
@@ -128,23 +120,7 @@ class LinearProbingRunner:
         return {h: h for h in self.config.head_structure}
 
     def _resolve_stats(self):
-        cfg = self.config
-        mean, std = cfg.dataset_mean, cfg.dataset_std
-        if mean is None:
-            train = self.datasets.get("train")
-            if train is None:
-                raise ValueError(
-                    "dataset_mean/dataset_std required for non-train runs"
-                )
-            mean, std = StatsDataset(train).compute()
-            mean, std = mean.tolist(), std.tolist()
-        self.stats = (list(map(float, mean)), list(map(float, std)))
-        # uint8 wire: on-device normalization reads these from the config
-        cfg.dataset_mean, cfg.dataset_std = self.stats
-        if cfg.wire_dtype == "float32":
-            for ds in self.datasets.values():
-                if ds is not None:
-                    ds.mean, ds.std = self.stats
+        self.stats = resolve_dataset_stats(self.config, self.datasets)
 
     def _make_loader(self, dataset, training):
         if dataset is None:
@@ -217,6 +193,8 @@ class LinearProbingRunner:
                 patience_left = cfg.early_stopping_patience or math.inf
             else:
                 patience_left -= 1
+            meta["best_val_loss"] = self.best_val_loss
+            meta["best_epoch"] = self.best_epoch
             if cfg.is_ref_device:
                 self.ckpt.save_latest(self.state, meta)
                 if improved:
@@ -364,6 +342,12 @@ class LinearProbingRunner:
         if self.config.resume_training and self.ckpt.latest_exists():
             self.state = self.ckpt.restore(self.state, "checkpoint")
             meta = self.ckpt.load_meta("checkpoint") or {}
-            self.best_val_loss = float(meta.get("val_loss") or math.inf)
+            # restore the BEST-so-far, not the latest epoch's val_loss —
+            # else resume clobbers/prunes the true best checkpoint. The
+            # `is not None` form also keeps a legitimate 0.0 from becoming
+            # inf (old code: `meta.get("val_loss") or math.inf`).
+            bvl = meta.get("best_val_loss", meta.get("val_loss"))
+            self.best_val_loss = float(bvl) if bvl is not None else math.inf
+            self.best_epoch = int(meta.get("best_epoch", -1))
             return int(meta.get("epoch", -1)) + 1
         return 0

@@ -16,13 +16,13 @@ import jax
 import numpy as np
 
 from deepcoro_clip_tpu.data.collate import collate_clip
-from deepcoro_clip_tpu.data.datasets import StatsDataset, VideoClipDataset
+from deepcoro_clip_tpu.data.datasets import VideoClipDataset
 from deepcoro_clip_tpu.data.loader import PrefetchLoader
 from deepcoro_clip_tpu.data.sampler import ShardedBatchSampler
 from deepcoro_clip_tpu.data.tokenizer import get_tokenizer
 from deepcoro_clip_tpu.losses.multitask import LossWeightScheduler
 from deepcoro_clip_tpu.models.captioning_decoder import greedy_generate_kv
-from deepcoro_clip_tpu.parallel.mesh import MeshSpec, make_mesh
+from deepcoro_clip_tpu.runners.common import make_runner_mesh, resolve_dataset_stats
 from deepcoro_clip_tpu.registry import RunnerRegistry
 from deepcoro_clip_tpu.runners.contrastive import NonFiniteLossError
 from deepcoro_clip_tpu.train.run_schedules import freeze_ratio_at, temperature_at
@@ -38,15 +38,7 @@ class MultitaskRunner:
     def __init__(self, config, output_dir: Optional[str] = None, mesh=None):
         self.config = config
         self.output_dir = Path(output_dir or config.output_dir)
-        if mesh is None:
-            import math as _math
-
-            model = max(1, config.mesh_model)
-            avail = jax.device_count() // model
-            data = config.mesh_data if config.mesh_data > 0 else avail
-            data = _math.gcd(data, config.batch_size) or 1
-            mesh = make_mesh(MeshSpec(data=data, model=model))
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else make_runner_mesh(config)
         self.tokenizer = get_tokenizer(
             vocab_size=config.text_vocab_size, max_length=config.max_text_length
         )
@@ -106,18 +98,7 @@ class MultitaskRunner:
         return out
 
     def _resolve_stats(self):
-        cfg = self.config
-        mean, std = cfg.dataset_mean or cfg.data_mean, cfg.dataset_std or cfg.data_std
-        if mean is None:
-            mean, std = StatsDataset(self.datasets["train"]).compute()
-            mean, std = mean.tolist(), std.tolist()
-        self.stats = (list(map(float, mean)), list(map(float, std)))
-        # uint8 wire: on-device normalization reads these from the config
-        cfg.dataset_mean, cfg.dataset_std = self.stats
-        if cfg.wire_dtype == "float32":
-            for ds in self.datasets.values():
-                if ds is not None:
-                    ds.mean, ds.std = self.stats
+        self.stats = resolve_dataset_stats(self.config, self.datasets)
 
     def _collate(self, items):
         cfg = self.config
@@ -175,8 +156,10 @@ class MultitaskRunner:
         end_epoch = end_epoch or cfg.epochs
         patience_left = cfg.early_stopping_patience or math.inf
         history = []
-        rng = jax.random.PRNGKey(cfg.seed)
         for epoch in range(start_epoch, end_epoch):
+            # epoch-folded RNG (like the contrastive runner): a resumed run
+            # must not replay epoch 0's dropout/MVM-mask stream
+            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
             # epoch-level schedules (reference multitask loop mirrors the
             # contrastive runner's, runners/multitask_runner.py)
             vfr = freeze_ratio_at(epoch, cfg.epochs, cfg.video_freeze_ratio,
@@ -304,9 +287,14 @@ class MultitaskRunner:
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             )
             out = fwd(self.state.params, db, jax.random.PRNGKey(0))
+            # val objective uses the SAME task weights as training at this
+            # step — otherwise best-checkpoint/early-stop track a different
+            # objective (e.g. an untrained mvm head when w_mvm=0)
+            w = self.weight_sched.at(self.global_step)
             losses.append(
-                float(out["contrastive"]) + float(out["captioning"])
-                + float(out["mvm"])
+                w.get("contrastive", 1.0) * float(out["contrastive"])
+                + w.get("captioning", 1.0) * float(out["captioning"])
+                + w.get("mvm", 1.0) * float(out["mvm"])
             )
             # greedy captions over the FULL validation split (reference
             # computes BLEU/ROUGE on all val captions,

@@ -23,7 +23,6 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcoro_clip_tpu.losses import contrastive as closs
-from deepcoro_clip_tpu.ops import pixels
 from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
 from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
@@ -240,16 +239,13 @@ def build_clip_bundle(
 def _forward_embeddings(bundle: ClipBundle, params, batch, rngs, deterministic):
     """Returns (v_emb, t_emb, tokens) — tokens is None unless the LocCa head
     needs the unpooled video tokens (one shared backbone pass either way)."""
+    # No normalization here on either wire: float batches are normalized by
+    # the host collate, and integer (uint8) batches go RAW into the model —
+    # the patchify transposes uint8 (1/4 the HBM traffic) and folds the
+    # dataset stats into its weights (models/layers.PatchEmbed3D, gated on
+    # input dtype; video_encoder_from_config passes cfg stats), saving
+    # ~3 ms/step of f32 materialization.
     videos = batch["videos"]
-    if not jnp.issubdtype(videos.dtype, jnp.integer):
-        # float wire: host already normalized. Integer (uint8) batches go
-        # RAW into the model — the patchify transposes uint8 (1/4 the HBM
-        # traffic) and folds the dataset stats into its weights
-        # (models/layers._PatchProj; video_encoder_from_config passes
-        # cfg.dataset_mean/std), saving ~3 ms/step of f32 materialization.
-        videos = pixels.normalize_videos(
-            videos, *pixels.config_stats(bundle.config)
-        )
     tokens = None
     want_tokens = (
         bundle.locca_decoder is not None and "caption_ids" in batch
@@ -315,6 +311,7 @@ def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
             v_emb, t_emb, batch["positive_mask"], params["log_temp"],
             positive_weights=batch.get("positive_weights"),
             text_valid=batch.get("text_valid"),
+            sample_mask=sample_mask,
         )
     elif name in ("siglip", "siglip_ddp"):
         out = closs.siglip_pairwise_loss(
@@ -357,13 +354,28 @@ def compute_loss(bundle: ClipBundle, params, batch, rngs, deterministic=False):
     return out
 
 
-def alignment_score(v_emb, t_emb):
-    """Mean diagonal cosine similarity (reference alignment metrics,
-    runners/video_constrative_learning_runner.py:1456-1537)."""
+def alignment_score(v_emb, t_emb, positive_mask=None, sample_mask=None):
+    """Mean matched-pair cosine similarity (reference alignment metrics,
+    runners/video_constrative_learning_runner.py:1456-1537).
+
+    Paired mode: mean of the diagonal. Multi-positive mode (``positive_mask``
+    [B, M] given): the text bank's row order has no per-video correspondence,
+    so the diagonal is noise — average video·text cosine over each video's
+    positives instead, excluding device-padding rows via ``sample_mask``."""
     v = closs.l2_normalize(v_emb)
     t = closs.l2_normalize(t_emb)
-    n = min(v.shape[0], t.shape[0])
-    return jnp.mean(jnp.sum(v[:n] * t[:n], axis=-1))
+    if positive_mask is None:
+        n = min(v.shape[0], t.shape[0])
+        diag = jnp.sum(v[:n] * t[:n], axis=-1)
+        if sample_mask is None:
+            return jnp.mean(diag)
+        m = sample_mask.astype(jnp.float32)[:n]
+        return jnp.sum(diag * m) / jnp.maximum(jnp.sum(m), 1.0)
+    pos = positive_mask.astype(jnp.float32)
+    if sample_mask is not None:
+        pos = pos * sample_mask.astype(jnp.float32)[:, None]
+    sim = v.astype(jnp.float32) @ t.astype(jnp.float32).T
+    return jnp.sum(sim * pos) / jnp.maximum(jnp.sum(pos), 1.0)
 
 
 def make_train_step(bundle: ClipBundle):
@@ -375,6 +387,7 @@ def make_train_step(bundle: ClipBundle):
     (reference temperature schedules, runner :147-181).
     """
     cfg = bundle.config
+    multi_positive = cfg.loss_name.lower() in MULTI_POSITIVE_LOSSES
 
     def loss_fn(params, batch, rng, temp_override):
         use_sched = temp_override > 0
@@ -419,7 +432,12 @@ def make_train_step(bundle: ClipBundle):
         metrics = {
             "loss": loss,
             "temperature": out["temperature"],
-            "alignment": alignment_score(out["video_emb"], out["text_emb"]),
+            "alignment": alignment_score(
+                out["video_emb"], out["text_emb"],
+                positive_mask=(batch.get("positive_mask")
+                               if multi_positive else None),
+                sample_mask=batch.get("sample_mask"),
+            ),
             "grad_norm": optim_lib.global_norm(grads),
             # per-layer gradient norms (reference log_gradient_norms,
             # utils/wandb_logger.py:491-510): per tower always, per backbone
@@ -455,6 +473,9 @@ def make_train_step(bundle: ClipBundle):
 
 def make_eval_step(bundle: ClipBundle):
     """Jitted embedding forward for validation/inference (deterministic)."""
+    multi_positive = (
+        bundle.config.loss_name.lower() in MULTI_POSITIVE_LOSSES
+    )
 
     def step(params, batch):
         out = compute_loss(
@@ -464,7 +485,12 @@ def make_eval_step(bundle: ClipBundle):
             "loss": out["loss"],
             "video_emb": out["video_emb"],
             "text_emb": out["text_emb"],
-            "alignment": alignment_score(out["video_emb"], out["text_emb"]),
+            "alignment": alignment_score(
+                out["video_emb"], out["text_emb"],
+                positive_mask=(batch.get("positive_mask")
+                               if multi_positive else None),
+                sample_mask=batch.get("sample_mask"),
+            ),
         }
 
     return jax.jit(step)

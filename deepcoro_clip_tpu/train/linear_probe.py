@@ -23,7 +23,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from deepcoro_clip_tpu.losses.heads import multi_head_loss
 from deepcoro_clip_tpu.models.mil import MultiInstanceLinearProbing
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
-from deepcoro_clip_tpu.ops import pixels
 from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
@@ -168,6 +167,10 @@ def build_probe_bundle(
         gradient_accumulation_steps=cfg.gradient_accumulation_steps,
     )
     tx = make_probe_optimizer(cfg, schedule, params)
+    # the schedule horizon is in UPDATES (steps/accum) — accumulate for real
+    # (as train/clip.py does)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     opt_state = tx.init(params)
 
     state = TrainState(
@@ -196,11 +199,10 @@ def build_probe_bundle(
 
 def forward_heads(bundle: ProbeBundle, params, batch, rngs, deterministic=True):
     cfg = bundle.config
+    # no normalization on either wire: floats are host-normalized, uint8
+    # goes RAW — the patchify folds the dataset stats into its weights,
+    # gated on input dtype (models/layers.PatchEmbed3D; see train/clip.py)
     videos = batch["videos"]
-    if not jnp.issubdtype(videos.dtype, jnp.integer):
-        # uint8 wire goes RAW: the patchify folds the dataset stats into
-        # its weights (models/layers._PatchProj; see train/clip.py)
-        videos = pixels.normalize_videos(videos, *pixels.config_stats(cfg))
     emb = bundle.video_model.apply(
         {"params": params["video_encoder"]}, videos,
         deterministic=deterministic or cfg.video_freeze_ratio >= 1.0,

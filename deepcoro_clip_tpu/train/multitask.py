@@ -27,7 +27,6 @@ from deepcoro_clip_tpu.models.masked_video_modeling import (
 )
 from deepcoro_clip_tpu.models.text_encoder import text_encoder_from_config
 from deepcoro_clip_tpu.models.video_encoder import video_encoder_from_config
-from deepcoro_clip_tpu.ops import pixels
 from deepcoro_clip_tpu.parallel.batching import make_batch_sharding_fn
 from deepcoro_clip_tpu.train import optim as optim_lib
 from deepcoro_clip_tpu.train.schedulers import get_scheduler
@@ -154,6 +153,10 @@ def build_multitask_bundle(cfg, mesh: Mesh, rng: jax.Array,
         },
         labels,
     )
+    # the schedule horizon above is expressed in UPDATES (steps/accum), so
+    # micro-steps must actually accumulate (as train/clip.py does)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     opt_state = tx.init(params)
 
     state = TrainState(
@@ -185,11 +188,10 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
     """All three task losses from one backbone pass."""
     cfg = bundle.config
     rngs = {"dropout": rng} if rng is not None else None
+    # no normalization on either wire: floats are host-normalized, uint8
+    # goes RAW — the patchify folds the dataset stats into its weights,
+    # gated on input dtype (models/layers.PatchEmbed3D; see train/clip.py)
     videos = batch["videos"]
-    if not jnp.issubdtype(videos.dtype, jnp.integer):
-        # uint8 wire goes RAW: the patchify folds the dataset stats into
-        # its weights (models/layers._PatchProj; see train/clip.py)
-        videos = pixels.normalize_videos(videos, *pixels.config_stats(cfg))
     feats = bundle.video_model.apply(
         {"params": params["video_encoder"]}, videos,
         video_mask=batch.get("video_mask"), deterministic=deterministic,
@@ -244,6 +246,11 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
     mask_rng = (jax.random.fold_in(rng, 1) if rng is not None
                 else jax.random.PRNGKey(0))
     tok_mask = random_token_mask(mask_rng, B * N, L, cfg.mask_ratio)
+    if sample_mask is not None:
+        # padded (duplicate) rows must not enter the masked-MSE average —
+        # the contrastive/captioning losses already honor sample_mask
+        tok_mask = tok_mask & jnp.repeat(
+            sample_mask.astype(bool), N)[:, None]
     mvm_out = bundle.mvm.apply(
         {"params": params["mvm"]}, clip_toks, tok_mask,
         deterministic=deterministic, rngs=rngs,

@@ -267,13 +267,19 @@ def stage_tiers():
         sub.drop(columns=["n_findings"]).to_csv(tier_csv, sep="α", index=False)
         cfg_path = RUN_DIR / "train_config.yaml"
         over = yaml.safe_load(cfg_path.open())
-        # resolved stats travel via the run's config backup (val mode
-        # requires precomputed dataset_mean/std)
+        # resolved stats travel via the checkpoint meta (the chunked trainer
+        # copies the RAW config into the run dir, so the backup may lack
+        # them; val mode requires precomputed dataset_mean/std)
         backups = sorted((RUN_DIR / "outputs").rglob("config.yaml"))
-        resolved = yaml.safe_load(backups[-1].open())
-        over.update(dataset_mean=resolved["dataset_mean"],
-                    dataset_std=resolved["dataset_std"])
         run_out = backups[-1].parent  # the actual training run directory
+        meta = json.loads(
+            (run_out / "checkpoints" / "checkpoint.json").read_text())
+        resolved = yaml.safe_load(backups[-1].open())
+        over.update(
+            dataset_mean=meta.get("dataset_mean",
+                                  resolved.get("dataset_mean")),
+            dataset_std=meta.get("dataset_std", resolved.get("dataset_std")),
+        )
         over.update(run_mode="val", data_filename=str(tier_csv),
                     output_dir=str(run_out))
         tier_cfg = RUN_DIR / f"cfg_{tier}.yaml"

@@ -170,3 +170,40 @@ def test_gradient_accumulation(mesh):
     p2 = np.asarray(
         jax.tree_util.tree_leaves(state.params["video_encoder"])[0])
     assert not np.array_equal(p1, p2)  # second micro-batch applies the update
+
+
+def test_alignment_score_modes():
+    """Paired mode: masked diagonal mean. Multi-positive mode: positive-set
+    cosine mean, padded rows excluded (round-3 review finding: the bank's
+    row order has no per-video correspondence, so the diagonal is noise)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from deepcoro_clip_tpu.train.clip import alignment_score
+
+    r = np.random.default_rng(0)
+    v = jnp.asarray(r.normal(size=(4, 8)).astype(np.float32))
+    t = jnp.asarray(r.normal(size=(6, 8)).astype(np.float32))
+
+    # paired: diag of the first min(B,M) rows
+    vn = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    tn = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    want = float(jnp.mean(jnp.sum(vn * tn[:4], axis=-1)))
+    assert abs(float(alignment_score(v, t)) - want) < 1e-6
+
+    # paired + sample_mask: padded rows drop out
+    sm = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    want_m = float(jnp.mean(jnp.sum(vn[:3] * tn[:3], axis=-1)))
+    assert abs(float(alignment_score(v, t, sample_mask=sm)) - want_m) < 1e-6
+
+    # multi-positive: mean over the positive set only
+    pos = jnp.zeros((4, 6)).at[0, 2].set(1.0).at[1, 5].set(1.0)
+    sims = vn @ tn.T
+    want_p = float((sims[0, 2] + sims[1, 5]) / 2.0)
+    got = float(alignment_score(v, t, positive_mask=pos))
+    assert abs(got - want_p) < 1e-6
+
+    # multi-positive + sample_mask: row 1 padded -> only (0, 2) counts
+    got2 = float(alignment_score(
+        v, t, positive_mask=pos, sample_mask=jnp.asarray([1.0, 0.0, 1.0, 1.0])
+    ))
+    assert abs(got2 - float(sims[0, 2])) < 1e-6
