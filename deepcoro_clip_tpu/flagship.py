@@ -37,7 +37,14 @@ def flagship_config(**overrides) -> ClipConfig:
         dropout=0.1,
         text_dim=768,
         text_depth=12,
-        text_heads=12,
+        # 6 heads x Dh=128 (one full MXU lane tile per head) instead of
+        # BERT's 12 x 64: same parameter tree ([768,768] QKVO kernels —
+        # head count is a runtime reshape), ~7.3 ms/step faster f+b at
+        # B=16/L=512 because Dh=64 pads half of every 128-lane attention
+        # tile (measured, dev/text_tower_bench.py; docs/KERNELS.md).
+        # YAML-driven and HF-imported runs keep the ClipConfig default (12,
+        # reference PubMedBERT geometry); checkpoints record their own.
+        text_heads=6,
         text_vocab_size=30522,
         max_text_length=512,
         temperature=0.0588,

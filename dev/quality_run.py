@@ -96,7 +96,11 @@ def _write_train_config():
         use_cls_token=fc.use_cls_token, embedding_dim=fc.embedding_dim,
         num_heads=fc.num_heads, aggregator_depth=fc.aggregator_depth,
         dropout=fc.dropout, text_dim=fc.text_dim, text_depth=fc.text_depth,
-        text_heads=fc.text_heads, text_vocab_size=fc.text_vocab_size,
+        # pinned: the published QUALITY.md artifact (and the frozen
+        # config/quality recipe) trained the reference PubMedBERT geometry;
+        # the flagship bench default moved to 6xDh=128 afterwards — quality
+        # seeds must stay architecture-comparable across rounds
+        text_heads=12, text_vocab_size=fc.text_vocab_size,
         temperature=fc.temperature, optimizer=fc.optimizer,
         precision=fc.precision, use_pallas_attention=fc.use_pallas_attention,
     )
