@@ -141,18 +141,26 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
         lines += [
             "## Seed variance (same corpus, independent init + data order)",
             "",
-            "| seed | epochs | best R@1 | final R@1 | final R@5 | final MedR |",
-            "|---|---|---|---|---|---|",
+            "A seed with fewer epochs is a PARTIAL run (chunked training cut",
+            "at the round's time budget); the last column compares it against",
+            "the primary seed AT THE SAME EPOCH, which is the fair read.",
+            "",
+            "| seed | epochs | best R@1 | final R@1 | final R@5 "
+            "| final MedR | primary R@1 @ same epoch |",
+            "|---|---|---|---|---|---|---|",
         ]
         for seed in sorted(runs):
             h = runs[seed]["train"]["history"]
             best_r1 = max((x.get("val_Recall@1", 0.0) for x in h), default=0.0)
             last = h[-1] if h else {}
+            same = (hist[len(h) - 1].get("val_Recall@1", float("nan"))
+                    if 0 < len(h) <= len(hist) else float("nan"))
             lines.append(
                 f"| {seed} | {len(h)} | {best_r1:.3f} "
                 f"| {last.get('val_Recall@1', float('nan')):.3f} "
                 f"| {last.get('val_Recall@5', float('nan')):.3f} "
-                f"| {last.get('val_MedianRank', float('nan')):.1f} |"
+                f"| {last.get('val_MedianRank', float('nan')):.1f} "
+                f"| {same:.3f} |"
             )
         lines.append("")
     if tiers:
