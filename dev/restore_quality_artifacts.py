@@ -1,0 +1,127 @@
+"""Rebuild `.quality_run_v2_s<N>/artifacts/*.json` from a committed QUALITY.md.
+
+The quality-run artifact dirs are gitignored (17 GB corpora + orbax
+checkpoints) and this environment's VM can be reset between sessions —
+QUALITY.md is the durable record of a finished run. This tool inverts
+`dev/_quality_report.py::write_report`: it parses the markdown tables back
+into the artifact JSONs so a later session can fold NEW seeds into the
+report without dropping the already-published ones.
+
+Only the fields the report writer reads are reconstructed (loss/val metrics
+per epoch, wall seconds, tiers, scaling probes); raw per-step logs are not
+recoverable and are not claimed.
+
+Usage: python dev/restore_quality_artifacts.py [seed]   (default 0)
+No-op if the seed's artifacts/train.json already exists.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _rows(md: str, header_prefix: str) -> list[list[str]]:
+    """Cells of the markdown table inside the given section (intro text
+    between the header and the table is skipped)."""
+    start = md.find(header_prefix)
+    if start < 0:
+        return []
+    section = md[start:]
+    nxt = section.find("\n## ", 1)
+    if nxt > 0:
+        section = section[:nxt]
+    rows = []
+    for line in section.splitlines():
+        if not line.startswith("|") or set(line) <= {"|", "-", " "}:
+            continue
+        rows.append([c.strip() for c in line.strip("|").split("|")])
+    return rows[1:]  # drop header row
+
+
+def restore(seed: int = 0, md_path: Path | None = None,
+            out_root: Path | None = None) -> Path:
+    md = (md_path or REPO / "QUALITY.md").read_text()
+    art = (out_root or REPO) / f".quality_run_v2_s{seed}" / "artifacts"
+    train_json = art / "train.json"
+    if train_json.exists():
+        print(f"{train_json} already exists — nothing to do")
+        return art
+
+    curve_header = f"## Training curve (seed {seed}"
+    if curve_header not in md:
+        raise SystemExit(
+            f"QUALITY.md has no training-curve section for seed {seed}"
+        )
+
+    history = []
+    for r in _rows(md, curve_header):
+        epoch, loss, vloss, r1, r5, r10, medr, wall = r[:8]
+        h = {
+            "epoch": int(epoch),
+            "loss": float(loss),
+            "val_loss": float(vloss),
+            "val_Recall@1": float(r1),
+            "val_Recall@5": float(r5),
+            "val_Recall@10": float(r10),
+            "val_MedianRank": float(medr),
+        }
+        if wall not in ("n/a", ""):
+            h["epoch_seconds"] = float(wall)
+        history.append(h)
+
+    wall_m = re.search(r"Wall time: ([\d.]+) s", md)
+    epochs_m = re.search(r"scheduled (\d+) epochs", md)
+    tok_m = re.search(r"\*\*Tokenizer: (\w+)\*\*", md)
+    batch_m = re.search(r"batch (\d+)", md)
+    text_m = re.search(r"text length (\d+)", md)
+    train = {
+        "history": history,
+        "wall_seconds": float(wall_m.group(1)) if wall_m else 0.0,
+        "config": {
+            "epochs": int(epochs_m.group(1)) if epochs_m else len(history),
+            "batch_size": int(batch_m.group(1)) if batch_m else 16,
+            "lr": 1e-4,
+            "max_text_length": int(text_m.group(1)) if text_m else 128,
+            "loss_name": "contrastive",
+            "seed": seed,
+            "tokenizer": tok_m.group(1) if tok_m else "unknown",
+        },
+        "note": "restored from committed QUALITY.md (VM reset wiped the "
+                "gitignored run dir; see dev/restore_quality_artifacts.py)",
+    }
+
+    tiers = {}
+    for r in _rows(md, "## Difficulty tiers"):
+        tier, r1, r5, r10, medr = r[:5]
+        tiers[tier] = {
+            "Recall@1": float(r1), "Recall@5": float(r5),
+            "Recall@10": float(r10), "MedianRank": float(medr),
+        }
+
+    scaling = {}
+    for r in _rows(md, "## lr x recipe scaling probes"):
+        probe, final, ln_b, escaped = r[:4]
+        scaling[probe] = {
+            "final": float(final), "ln_B": float(ln_b),
+            "escaped_plateau": escaped.lower() == "yes",
+            "losses_every10": [],
+        }
+
+    art.mkdir(parents=True, exist_ok=True)
+    train_json.write_text(json.dumps(train))
+    if tiers:
+        (art / "tiers.json").write_text(json.dumps(tiers))
+    if scaling:
+        (art / "scaling.json").write_text(json.dumps(scaling))
+    print(f"restored seed-{seed} artifacts: {len(history)} epochs, "
+          f"{len(tiers)} tiers, {len(scaling)} probes -> {art}")
+    return art
+
+
+if __name__ == "__main__":
+    restore(int(sys.argv[1]) if len(sys.argv) > 1 else 0)

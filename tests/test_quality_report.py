@@ -92,3 +92,34 @@ def test_report_writes_convergence_and_seed_variance(tmp_path):
     assert "3-findings-ood" in md
     assert "wall s" in md  # per-epoch wall-time column
     assert (tmp_path / "docs" / "quality_curves.png").exists()
+
+
+def test_restore_artifacts_round_trips_the_report(tmp_path):
+    """dev/restore_quality_artifacts.py inverts write_report: a session that
+    lost the gitignored run dirs (VM reset) can rebuild the primary seed's
+    artifact JSONs from the committed QUALITY.md."""
+    from dev._quality_report import write_report
+    from dev.restore_quality_artifacts import restore
+
+    (tmp_path / "docs").mkdir()
+    _write_seed(tmp_path, 0, 25, 0.30)
+    write_report(tmp_path, 6000, 1024, 16, 128)
+
+    out = tmp_path / "restored"
+    restore(0, md_path=tmp_path / "QUALITY.md", out_root=out)
+    art = out / ".quality_run_v2_s0" / "artifacts"
+    got = json.loads((art / "train.json").read_text())
+    want = json.loads(
+        (tmp_path / ".quality_run_v2_s0" / "artifacts" / "train.json")
+        .read_text())
+    assert len(got["history"]) == len(want["history"])
+    for g, w in zip(got["history"], want["history"]):
+        for k in ("val_Recall@1", "val_Recall@5", "val_MedianRank"):
+            assert abs(g[k] - w[k]) < 5e-4  # table rounds to 3 decimals
+        assert abs(g["loss"] - w["loss"]) < 5e-5
+    assert got["config"]["tokenizer"] == "WordPieceTokenizer"
+    tiers = json.loads((art / "tiers.json").read_text())
+    assert tiers["3-findings-ood"]["Recall@1"] == 0.1
+    scaling = json.loads((art / "scaling.json").read_text())
+    assert scaling["recipe_B16_lr0.0001"]["escaped_plateau"] is True
+    assert scaling["B16_lr0.0001"]["escaped_plateau"] is False
