@@ -38,3 +38,12 @@ class MultitaskConfig(ClipConfig):
 
     # multi-view consistency (reference: runners/multitask_runner.py:897-913)
     consistency_weight: float = 0.0
+
+    # scheduled sampling for caption training (beyond-reference; two-pass
+    # parallel variant — Bengio et al. 2015 via Mihaylova & Martins 2019's
+    # transformer adaptation): with probability p, decoder inputs at t>0 are
+    # the model's own pass-1 predictions instead of gold tokens. p ramps
+    # linearly from 0 over ``scheduled_sampling_warmup_steps``. 0.0 = off
+    # (program unchanged; enabling doubles decoder fwd FLOPs).
+    scheduled_sampling_prob: float = 0.0
+    scheduled_sampling_warmup_steps: int = 0

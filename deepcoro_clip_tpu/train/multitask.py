@@ -184,8 +184,13 @@ def build_multitask_bundle(cfg, mesh: Mesh, rng: jax.Array,
 
 
 def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
-                      deterministic=False):
-    """All three task losses from one backbone pass."""
+                      deterministic=False, ss_prob=None):
+    """All three task losses from one backbone pass.
+
+    ``ss_prob`` (traced scalar, training only): scheduled-sampling mix
+    probability — when the config enables it, the decoder runs a second
+    pass whose inputs at t>0 are its own pass-1 predictions with
+    probability ``ss_prob`` (targets stay gold)."""
     cfg = bundle.config
     rngs = {"dropout": rng} if rng is not None else None
     # no normalization on either wire: floats are host-normalized, uint8
@@ -218,6 +223,26 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
         attention_mask=batch.get("caption_mask"),
         deterministic=deterministic, rngs=rngs,
     )
+    if (ss_prob is not None and not deterministic
+            and cfg.scheduled_sampling_prob > 0):
+        # two-pass parallel scheduled sampling: pass-1 logits (teacher
+        # forced, above) provide the model's next-token predictions; the
+        # second pass feeds them back as inputs with probability ss_prob.
+        # BOS stays gold; loss targets stay gold (cap_ids) either way.
+        preds = jnp.argmax(logits, axis=-1)  # [B, L]: pred for token t+1
+        prev_pred = jnp.concatenate([cap_ids[:, :1], preds[:, :-1]], axis=1)
+        mix_rng = (jax.random.fold_in(rng, 2) if rng is not None
+                   else jax.random.PRNGKey(0))
+        mix = jax.random.bernoulli(mix_rng, ss_prob, cap_ids.shape)
+        not_bos = jnp.arange(cap_ids.shape[1])[None, :] > 0
+        mixed_ids = jax.lax.stop_gradient(
+            jnp.where(mix & not_bos, prev_pred, cap_ids)
+        )
+        logits = bundle.decoder.apply(
+            {"params": params["decoder"]}, mixed_ids, toks_flat,
+            attention_mask=batch.get("caption_mask"),
+            deterministic=deterministic, rngs=rngs,
+        )
     cap_weights = batch.get("caption_weights")
     if sample_mask is not None:
         cap_weights = (cap_weights if cap_weights is not None else 1.0) * sample_mask
@@ -305,14 +330,16 @@ def multitask_forward(bundle: MultitaskBundle, params, batch, rng,
 def make_multitask_train_step(bundle: MultitaskBundle):
     cfg = bundle.config
 
-    def loss_fn(params, batch, rng, w_con, w_cap, w_mvm, temp_override):
+    def loss_fn(params, batch, rng, w_con, w_cap, w_mvm, temp_override,
+                ss_prob=None):
         use_sched = temp_override > 0
         p = dict(params)
         p["log_temp"] = jnp.where(
             use_sched, jnp.log(jnp.maximum(temp_override, 1e-6)),
             params["log_temp"],
         )
-        out = multitask_forward(bundle, p, batch, rng, deterministic=False)
+        out = multitask_forward(bundle, p, batch, rng, deterministic=False,
+                                ss_prob=ss_prob)
         total = (w_con * out["contrastive"] + w_cap * out["captioning"]
                  + w_mvm * out["mvm"]
                  + cfg.consistency_weight * out["consistency"])
@@ -320,8 +347,16 @@ def make_multitask_train_step(bundle: MultitaskBundle):
 
     def step(state: TrainState, batch, rng, w_con, w_cap, w_mvm,
              video_freeze_ratio, text_freeze_ratio, temp_override):
+        ss_prob = None
+        if cfg.scheduled_sampling_prob > 0:  # static gate: program unchanged when off
+            warm = max(1, int(cfg.scheduled_sampling_warmup_steps))
+            ramp = jnp.minimum(state.step.astype(jnp.float32) / warm, 1.0)
+            ss_prob = jnp.float32(cfg.scheduled_sampling_prob) * (
+                ramp if cfg.scheduled_sampling_warmup_steps > 0 else 1.0
+            )
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, w_con, w_cap, w_mvm, temp_override
+            state.params, batch, rng, w_con, w_cap, w_mvm, temp_override,
+            ss_prob
         )
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
         # dynamic partial freeze: grads masked pre-update (no moment buildup),
@@ -354,6 +389,8 @@ def make_multitask_train_step(bundle: MultitaskBundle):
                 optim_lib.optimizer_step_count(opt_state, state.step)
             ),
         }
+        if ss_prob is not None:
+            metrics["ss_prob"] = ss_prob
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 
