@@ -13,6 +13,8 @@ Design rules (TPU-first):
 
 from __future__ import annotations
 
+import os
+
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -21,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepcoro_clip_tpu.ops.flash_attention import flash_attention
+from deepcoro_clip_tpu.ops.flash_attention_packed import flash_attention_packed
 
 Dtype = jnp.dtype
 
@@ -98,15 +101,45 @@ class Attention(nn.Module):
         B, Lq, _ = x.shape
         Lk = ctx.shape[1]
 
+        # packed layout: when Dh is a multiple of 128, heads are already
+        # lane-tile blocks of the [B, L, D] activation — the packed kernel
+        # reads the QKV projection output (and writes its own output) with
+        # NO [B,L,H,Dh]<->[B,H,L,Dh] transposes materialized around the
+        # Pallas call (ops/flash_attention_packed.py).
+        use_packed = (
+            self.use_flash and head_dim % 128 == 0 and self.ring_mesh is None
+            and os.environ.get("DEEPCORO_PACKED_ATTN", "0") == "1"
+        )
+
         if context is None:
             # fused QKV projection: one wide MXU matmul instead of three
             qkv = dense(3 * self.dim, (None, "model"), dtype=self.dtype,
                         name="qkv")(x)
+            if use_packed:
+                out = flash_attention_packed(
+                    qkv=qkv, num_heads=self.num_heads,
+                    sin=None if sin is None else jnp.asarray(sin),
+                    cos=None if cos is None else jnp.asarray(cos),
+                    kv_mask=kv_mask, causal=causal,
+                )
+                out = dense(self.dim, ("model", None), dtype=self.dtype,
+                            name="proj")(out)
+                return nn.Dropout(self.dropout)(out,
+                                                deterministic=deterministic)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = dense(self.dim, (None, "model"), dtype=self.dtype, name="q")(x)
             k = dense(self.dim, (None, "model"), dtype=self.dtype, name="k")(ctx)
             v = dense(self.dim, (None, "model"), dtype=self.dtype, name="v")(ctx)
+            if use_packed:
+                out = flash_attention_packed(
+                    q, k, v, num_heads=self.num_heads,
+                    kv_mask=kv_mask, causal=causal,
+                )
+                out = dense(self.dim, ("model", None), dtype=self.dtype,
+                            name="proj")(out)
+                return nn.Dropout(self.dropout)(out,
+                                                deterministic=deterministic)
 
         def split(t, L):
             return t.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)

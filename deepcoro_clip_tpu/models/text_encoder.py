@@ -15,6 +15,8 @@ Attention masking runs through the same flash-attention op as the video tower.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 import flax.linen as nn
@@ -22,6 +24,7 @@ import jax.numpy as jnp
 
 from deepcoro_clip_tpu.models.layers import ProjectionHead, dense
 from deepcoro_clip_tpu.ops.flash_attention import flash_attention
+from deepcoro_clip_tpu.ops.flash_attention_packed import flash_attention_packed
 from deepcoro_clip_tpu.registry import ModelRegistry
 
 
@@ -40,15 +43,24 @@ class BertSelfAttention(nn.Module):
         k = dense(self.dim, (None, "model"), dtype=self.dtype, name="key")(x)
         v = dense(self.dim, (None, "model"), dtype=self.dtype, name="value")(x)
 
-        def split(t):
-            return t.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+        if (self.use_flash and hd % 128 == 0
+                and os.environ.get("DEEPCORO_PACKED_ATTN", "0") == "1"):
+            # packed layout: no head transposes around the Pallas call
+            # (ops/flash_attention_packed.py; q/k/v stay separate denses
+            # for HF BERT parameter parity)
+            out = flash_attention_packed(
+                q, k, v, num_heads=self.num_heads, kv_mask=attention_mask,
+            )
+        else:
+            def split(t):
+                return t.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
 
-        out = flash_attention(
-            split(q), split(k), split(v),
-            kv_mask=attention_mask,
-            backend="auto" if self.use_flash else "xla",
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
+            out = flash_attention(
+                split(q), split(k), split(v),
+                kv_mask=attention_mask,
+                backend="auto" if self.use_flash else "xla",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
         out = dense(self.dim, ("model", None), dtype=self.dtype, name="out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
