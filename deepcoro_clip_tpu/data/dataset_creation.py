@@ -331,3 +331,177 @@ def generate_reports(df, coronary_specific: bool = True):
         for _, row in out.iterrows()
     ]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# procedure-status cascade + temporal ordering (reference
+# dataset_creation/generate_dataset.py:540-880, scripts/regenerate_dataset.py)
+# --------------------------------------------------------------------------- #
+
+# clinical class-id tables (the behavior IS the spec)
+MAIN_STRUCTURE_NAMES: Dict[int, str] = {
+    0: "Left Coronary", 1: "Right Coronary", 2: "Other", 3: "Graft",
+    4: "Catheter", 5: "Femoral", 6: "LV", 7: "TAVR", 8: "Aorta",
+    9: "Radial", 10: "TEE probe", 11: "Pigtail",
+}
+DOMINANCE_NAMES: Dict[int, str] = {0: "right_dominant", 1: "left_dominant"}
+
+# ground-truth per-segment PCI-performed flags, grouped by coronary side
+PCIDONE_COLUMNS: Dict[str, List[str]] = {
+    "left": ["left_main_pcidone", "prox_lad_pcidone", "mid_lad_pcidone",
+             "dist_lad_pcidone", "D1_pcidone", "D2_pcidone",
+             "prox_lcx_pcidone", "mid_lcx_pcidone", "dist_lcx_pcidone",
+             "om1_pcidone", "om2_pcidone", "bx_pcidone", "lvp_pcidone"],
+    "right": ["prox_rca_pcidone", "mid_rca_pcidone", "dist_rca_pcidone",
+              "pda_pcidone", "posterolateral_pcidone",
+              "right_marginal_pcidone"],
+}
+
+_ACQ_TIME_RE = None  # compiled lazily
+
+
+def acquisition_time_from_filename(filename) -> Optional[float]:
+    """DICOM acquisition datetime (14-digit YYYYMMDDHHMMSS) embedded in the
+    SOP-UID part of ``StudyUID_SOPInstanceUID.*`` filenames, as a float so
+    procedures spanning midnight still order correctly. None when absent.
+    (Reference: generate_dataset.py:791-812 — series_time can carry corrupted
+    transfer timestamps, so the filename is the primary source.)"""
+    import re
+
+    global _ACQ_TIME_RE
+    if _ACQ_TIME_RE is None:
+        _ACQ_TIME_RE = re.compile(r"(20[12]\d[01]\d[0-3]\d\d{6})")
+    base = str(filename).rsplit("/", 1)[-1]
+    if "_" not in base:
+        return None
+    m = _ACQ_TIME_RE.search(base.split("_", 1)[1])
+    return float(m.group(1)) if m else None
+
+
+def sort_by_acquisition_time(df: "pd.DataFrame") -> "pd.DataFrame":
+    """Stable per-study temporal sort: filename acquisition time first,
+    series_time/SeriesTime fallback (positive values only for series_time —
+    -1 means missing), unknown times last."""
+    if "StudyInstanceUID" not in df.columns:
+        return df
+    if "FileName" in df.columns:
+        primary = df["FileName"].map(acquisition_time_from_filename)
+    else:
+        primary = pd.Series(np.nan, index=df.index)
+    if "series_time" in df.columns:
+        fb = pd.to_numeric(df["series_time"], errors="coerce")
+        fb = fb.where(fb > 0)
+    elif "SeriesTime" in df.columns:
+        fb = pd.to_numeric(df["SeriesTime"], errors="coerce")
+    else:
+        fb = pd.Series(np.nan, index=df.index)
+    key = primary.astype(float).fillna(fb)
+    order = (
+        pd.DataFrame({"_study": df["StudyInstanceUID"], "_t": key})
+        .sort_values(["_study", "_t"], na_position="last", kind="stable")
+        .index
+    )
+    return df.loc[order]
+
+
+def pci_confirmed_on_side(df: "pd.DataFrame") -> "pd.Series":
+    """True where the GT *_pcidone columns confirm a PCI on the video's
+    labelled coronary side. Non-LCA/RCA rows (Femoral, Catheter, ...) and
+    frames with no pcidone columns at all default to True — legacy behavior:
+    trust the stent classifier there (those rows are filtered before
+    inference anyway)."""
+    sides = {}
+    for side, cols in PCIDONE_COLUMNS.items():
+        have = [c for c in cols if c in df.columns]
+        if have:
+            vals = df[have].apply(pd.to_numeric, errors="coerce").fillna(0)
+            sides[side] = (vals > 0).any(axis=1)
+        else:
+            sides[side] = pd.Series(False, index=df.index)
+    if not any((c in df.columns) for cols in PCIDONE_COLUMNS.values()
+               for c in cols):
+        return pd.Series(True, index=df.index)
+    is_left = df["main_structure_name"].eq("Left Coronary")
+    is_right = df["main_structure_name"].eq("Right Coronary")
+    return ((is_left & sides["left"]) | (is_right & sides["right"])
+            | (~is_left & ~is_right))
+
+
+def assign_procedure_status(df: "pd.DataFrame") -> "pd.DataFrame":
+    """Three mutually exclusive statuses per video (expects the frame already
+    in temporal order — see sort_by_acquisition_time):
+
+    - ``PCI``: stent_presence_class == 1 — always, even when the structure
+      classifier mislabelled the side;
+    - ``POST_PCI``: a later contrast video of a study+side whose earlier PCI
+      is CONFIRMED by the GT pcidone flags (unconfirmed stent=1 videos do
+      not contaminate their neighbours — they stay out of the cascade);
+    - ``diagnostic``: everything before any confirmed PCI on that side.
+    """
+    out = df.copy()
+    stent = out["stent_presence_class"].eq(1)
+    cascade = stent & pci_confirmed_on_side(out)
+    seen_before = (
+        cascade.groupby(
+            [out["StudyInstanceUID"], out["main_structure_name"]], sort=False
+        ).transform(lambda g: g.cumsum().shift(fill_value=0)).astype(bool)
+    )
+    status = pd.Series("unknown", index=out.index)
+    status[~stent & ~seen_before] = "diagnostic"
+    contrast = (out["contrast_agent_class"].eq(1)
+                if "contrast_agent_class" in out.columns
+                else pd.Series(True, index=out.index))
+    status[~stent & seen_before & contrast] = "POST_PCI"
+    status[stent] = "PCI"
+    out["status"] = status
+    return out
+
+
+def inference_filter_mask(df: "pd.DataFrame") -> "pd.Series":
+    """Rows eligible for retrieval inference: diagnostic contrast videos of
+    the left/right coronary tree, excluding congenital procedures and
+    studies whose every *_stenosis value is -1/NaN (no coronary GT)."""
+    congenital = (
+        df["series_description"].str.contains("CONGENITAL", case=False,
+                                              na=False)
+        if "series_description" in df.columns
+        else pd.Series(False, index=df.index)
+    )
+    stenosis_cols = [c for c in df.columns if c.endswith("_stenosis")]
+    if stenosis_cols:
+        vals = df[stenosis_cols].apply(pd.to_numeric, errors="coerce")
+        no_data = ((vals == -1) | vals.isna()).all(axis=1)
+    else:
+        no_data = pd.Series(False, index=df.index)
+    contrast = (df["contrast_agent_class"].eq(1)
+                if "contrast_agent_class" in df.columns
+                else pd.Series(True, index=df.index))
+    return (
+        df["status"].eq("diagnostic")
+        & df["main_structure_name"].isin(["Left Coronary", "Right Coronary"])
+        & contrast & ~congenital & ~no_data
+    )
+
+
+def regenerate_dataset(df: "pd.DataFrame",
+                       coronary_specific: bool = True) -> "pd.DataFrame":
+    """Full regeneration pipeline (reference scripts/regenerate_dataset.py):
+    class-id maps -> temporal sort -> status cascade -> inference filter ->
+    test->inference split rename -> report generation. Returns the
+    inference-ready frame; the caller owns IO."""
+    out = df.copy()
+    if "main_structure_class" in out.columns:
+        out["main_structure_name"] = out["main_structure_class"].map(
+            MAIN_STRUCTURE_NAMES)
+    if "dominance_class" in out.columns:
+        out["dominance_name"] = out["dominance_class"].map(DOMINANCE_NAMES)
+    out = sort_by_acquisition_time(out)
+    out = assign_procedure_status(out)
+    diag = out.loc[inference_filter_mask(out)].copy()
+    if "Split" in diag.columns:
+        diag["Split"] = diag["Split"].replace({"test": "inference"})
+    diag["Report"] = [
+        create_report(row, coronary_specific_report=coronary_specific)
+        for _, row in diag.iterrows()
+    ]
+    return diag
