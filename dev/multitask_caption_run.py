@@ -9,6 +9,13 @@ scaled-down towers, real corpus clips.
 
 Usage: python dev/multitask_caption_run.py [epochs]
 Writes docs/CAPTIONS.md + the run's val caption CSVs.
+
+Scheduled-sampling variant (round 3 follow-up to the severity mode
+collapse): DEEPCORO_CAP_SS=<prob> trains with two-pass scheduled sampling
+(train/multitask.py) in its own run dir and APPENDS a comparison section
+to docs/CAPTIONS.md instead of overwriting the baseline report.
+`python dev/multitask_caption_run.py report` rebuilds that section from
+the run dir without retraining (safe after a timeout).
 """
 
 from __future__ import annotations
@@ -23,7 +30,8 @@ REPO = Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 CORPUS = REPO / ".synth_corpus"
-RUN_DIR = REPO / ".caption_run"
+SS_PROB = float(os.environ.get("DEEPCORO_CAP_SS", "0"))
+RUN_DIR = REPO / (".caption_run_ss" if SS_PROB > 0 else ".caption_run")
 
 N_TRAIN, N_VAL = 480, 128
 
@@ -76,6 +84,13 @@ def main():
         # main quality + test suites)
         loss_weights={"contrastive": 0.25, "captioning": 1.0, "mvm": 0.0},
     )
+    if SS_PROB > 0:
+        steps_per_epoch = N_TRAIN // cfg_d["batch_size"]
+        cfg_d.update(
+            scheduled_sampling_prob=SS_PROB,
+            # teacher-forced for the first ~quarter of the horizon
+            scheduled_sampling_warmup_steps=steps_per_epoch * max(1, epochs // 4),
+        )
     cfg_path = RUN_DIR / "config.yaml"
     yaml.safe_dump(cfg_d, cfg_path.open("w"))
     config = parse_config(["--base_config", str(cfg_path)])
@@ -87,19 +102,72 @@ def main():
     print("tokenizer:", type(runner.tokenizer).__name__, flush=True)
     result = runner.train()
     wall = time.perf_counter() - t0
+    (RUN_DIR / "run_meta.json").write_text(json.dumps(
+        {"wall": wall, "epochs": epochs, "ss_prob": SS_PROB}))
+    write_report()
 
-    # collect the last val caption CSV
+
+def _collect():
+    import pandas as pd
+
     caps = sorted((RUN_DIR / "run" / "val").glob("captions_epoch_*.csv"),
                   key=lambda p: int(p.stem.rsplit("_", 1)[-1]))
     sample_rows = []
-    metrics = {}
     if caps:
         cdf = pd.read_csv(caps[-1])
         sample_rows = cdf.head(8).to_dict("records")
-    hist = result.get("history", [])
-    if hist:
-        metrics = {k: v for k, v in hist[-1].items()
-                   if isinstance(v, (int, float))}
+    metrics = {}
+    mj = RUN_DIR / "run" / "metrics.jsonl"
+    if mj.exists():
+        for line in mj.read_text().splitlines():
+            d = json.loads(line)
+            if any(k.startswith("val/") for k in d):
+                metrics = {k: v for k, v in d.items()
+                           if isinstance(v, (int, float))}
+    meta = (json.loads((RUN_DIR / "run_meta.json").read_text())
+            if (RUN_DIR / "run_meta.json").exists() else {})
+    return caps, sample_rows, metrics, meta
+
+
+def write_report():
+    caps, sample_rows, metrics, meta = _collect()
+    if not caps and not metrics:
+        raise SystemExit(f"no artifacts under {RUN_DIR} — refusing to "
+                         "overwrite docs/CAPTIONS.md")
+    wall = meta.get("wall", 0.0)
+    epochs = meta.get("epochs", "?")
+    doc = REPO / "docs" / "CAPTIONS.md"
+
+    def sample_table():
+        rows = ["| reference report | generated |", "|---|---|"]
+        for r in sample_rows:
+            ref = str(r.get("reference", ""))[:90]
+            gen = str(r.get("generated", ""))[:90]
+            rows.append(f"| {ref} | {gen} |")
+        return rows
+
+    if SS_PROB > 0:
+        header = "## Scheduled-sampling run (measured)"
+        lines = [
+            "", header, "",
+            f"Same recipe and corpus as the weighted baseline above, plus "
+            f"two-pass scheduled sampling p={SS_PROB:g} (linear warmup over "
+            f"the first quarter of the horizon; `scheduled_sampling_prob`).",
+            f"{epochs} epochs, wall {wall:.0f} s (CPU).",
+            "",
+            "Final-epoch val metrics:", "", "```json",
+            json.dumps(metrics, indent=2, default=float), "```", "",
+            "### Sample generations (last epoch)", "",
+            *sample_table(), "",
+            f"Artifacts: `{RUN_DIR.name}/run/val/` (full val split per epoch).",
+        ]
+        text = doc.read_text()
+        if header in text:  # idempotent re-report
+            text = text[:text.index(header)].rstrip() + "\n"
+            lines = lines[1:]
+        doc.write_text(text + "\n".join(lines) + "\n")
+        print(f"appended scheduled-sampling section to {doc}", flush=True)
+        return
 
     lines = [
         "# CAPTIONS — multitask captioning with the real WordPiece vocabulary",
@@ -120,20 +188,16 @@ def main():
         "",
         "## Sample generations (last epoch)",
         "",
-        "| reference report | generated |",
-        "|---|---|",
-    ]
-    for r in sample_rows:
-        ref = str(r.get("reference", ""))[:90]
-        gen = str(r.get("generated", ""))[:90]
-        lines.append(f"| {ref} | {gen} |")
-    lines += [
+        *sample_table(),
         "",
         f"Artifacts: `{caps[-1] if caps else 'none'}` (full val split).",
     ]
-    (REPO / "docs" / "CAPTIONS.md").write_text("\n".join(lines) + "\n")
-    print(f"done in {wall:.0f}s; wrote docs/CAPTIONS.md", flush=True)
+    doc.write_text("\n".join(lines) + "\n")
+    print(f"wrote {doc}", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["report"]:
+        write_report()
+    else:
+        main()
