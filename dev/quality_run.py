@@ -38,9 +38,15 @@ SEED = int(os.environ.get("DEEPCORO_QR_SEED", "0"))   # init + data order
 BATCH = 16
 TEXT_LEN = 128  # synthetic reports are short; honest-throughput bench keeps 512
 EPOCHS = int(os.environ.get("DEEPCORO_QR_EPOCHS", "25"))
+# text-tower geometry knob: 12 (the published artifact's PubMedBERT shape,
+# default — quality seeds stay architecture-comparable across rounds) or 6
+# (the flagship 6xDh=128 bench geometry; a run here checks the flip is
+# quality-neutral, not just faster)
+TEXT_HEADS = int(os.environ.get("DEEPCORO_QR_TEXT_HEADS", "12"))
 
 # v2 run dirs are per-seed; round-2's 10-epoch .quality_run is kept as-is
-RUN_DIR = REPO / f".quality_run_v2_s{SEED}"
+RUN_DIR = REPO / (f".quality_run_v2_s{SEED}"
+                  + ("" if TEXT_HEADS == 12 else f"_h{TEXT_HEADS}"))
 ART = RUN_DIR / "artifacts"
 
 
@@ -100,7 +106,7 @@ def _write_train_config():
         # config/quality recipe) trained the reference PubMedBERT geometry;
         # the flagship bench default moved to 6xDh=128 afterwards — quality
         # seeds must stay architecture-comparable across rounds
-        text_heads=12, text_vocab_size=fc.text_vocab_size,
+        text_heads=TEXT_HEADS, text_vocab_size=fc.text_vocab_size,
         temperature=fc.temperature, optimizer=fc.optimizer,
         precision=fc.precision, use_pallas_attention=fc.use_pallas_attention,
     )
