@@ -108,7 +108,7 @@ class Attention(nn.Module):
         # Pallas call (ops/flash_attention_packed.py).
         use_packed = (
             self.use_flash and head_dim % 128 == 0 and self.ring_mesh is None
-            and os.environ.get("DEEPCORO_PACKED_ATTN", "0") == "1"
+            and os.environ.get("DEEPCORO_PACKED_ATTN", "1") == "1"
         )
 
         if context is None:

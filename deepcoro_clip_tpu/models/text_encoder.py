@@ -44,7 +44,7 @@ class BertSelfAttention(nn.Module):
         v = dense(self.dim, (None, "model"), dtype=self.dtype, name="value")(x)
 
         if (self.use_flash and hd % 128 == 0
-                and os.environ.get("DEEPCORO_PACKED_ATTN", "0") == "1"):
+                and os.environ.get("DEEPCORO_PACKED_ATTN", "1") == "1"):
             # packed layout: no head transposes around the Pallas call
             # (ops/flash_attention_packed.py; q/k/v stay separate denses
             # for HF BERT parameter parity)

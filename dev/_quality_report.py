@@ -43,6 +43,9 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
     runs = {}
     for d in sorted(repo.glob(".quality_run_v2_s*")):
         seed = d.name.rsplit("_s", 1)[-1]
+        if "_h" in seed:  # geometry-variant run (DEEPCORO_QR_TEXT_HEADS)
+            base, heads = seed.split("_h", 1)
+            seed = f"{base} ({heads}-head text)"
         tj = d / "artifacts" / "train.json"
         if tj.exists():
             runs[seed] = {
