@@ -93,11 +93,22 @@ def main() -> None:
 
     r = np.random.default_rng(0)
     # production wire: uint8 pixels, normalized on-device (ops/pixels.py)
+    videos = r.integers(
+        0, 255,
+        size=(batch, n_videos, cfg.frames, cfg.resize, cfg.resize, 3),
+    ).astype(np.uint8)
+    # patch-major wire (data/patch_wire.py): host does the space-to-depth,
+    # device patchify becomes a pure MXU matmul (DEEPCORO_PATCH_WIRE=0 opts
+    # out -> raw [B,N,T,H,W,C] wire with the device-side operand copy)
+    patch_wire_on = os.environ.get("DEEPCORO_PATCH_WIRE", "0") == "1"
+    if patch_wire_on:
+        from deepcoro_clip_tpu.data.patch_wire import patchify_videos
+        from deepcoro_clip_tpu.models.video_encoder import resolve_architecture
+
+        videos = patchify_videos(videos, tuple(
+            resolve_architecture(cfg)["vit_patch"]))
     host_batch = {
-        "videos": r.integers(
-            0, 255,
-            size=(batch, n_videos, cfg.frames, cfg.resize, cfg.resize, 3),
-        ).astype(np.uint8),
+        "videos": videos,
         "video_mask": np.ones((batch, n_videos), bool),
         "input_ids": r.integers(0, cfg.text_vocab_size, size=(batch, text_len))
         .astype(np.int32),

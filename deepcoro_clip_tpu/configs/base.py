@@ -83,6 +83,11 @@ class BaseConfig:
     # bytes and normalizes on-device (fused by XLA); "float32" normalizes on
     # the host (use for pre-scaled float sources outside [0, 255]).
     wire_dtype: str = "uint8"
+    # Patch-major uint8 wire: the host does the patchify space-to-depth
+    # (native/fastvideo.cpp, data/patch_wire.py) so the device patchify is a
+    # pure MXU matmul — removes XLA's strided uint8 operand copy (~5.5 ms,
+    # 5.8% of the flagship step; dev/profile_step.py r3). uint8-wire only.
+    patch_wire: bool = False
 
     # Filled in by set_device_info_in_place (never from YAML)
     is_ref_device: bool = True

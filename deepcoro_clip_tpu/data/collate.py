@@ -35,15 +35,41 @@ def pick_text_bucket(
     return max_text_length
 
 
+def wire_patch(cfg) -> Optional[tuple]:
+    """Patch dims for ``collate_*(..., patch=)`` when the config enables the
+    patch-major wire (config.patch_wire, uint8 wire only), else None."""
+    if not getattr(cfg, "patch_wire", False):
+        return None
+    if getattr(cfg, "wire_dtype", "uint8") != "uint8":
+        return None
+    from deepcoro_clip_tpu.models.video_encoder import resolve_architecture
+
+    return tuple(resolve_architecture(cfg)["vit_patch"])
+
+
+def _maybe_patchify(videos: np.ndarray,
+                    patch: Optional[Sequence[int]]) -> np.ndarray:
+    """Patch-major wire (config.patch_wire): host space-to-depth so the
+    device patchify is a pure matmul (data/patch_wire.py). uint8-only; a
+    float wire silently keeps the spatial layout (stats are host-applied
+    there, so the device copy it removes does not exist)."""
+    if patch is None or videos.dtype != np.uint8:
+        return videos
+    from deepcoro_clip_tpu.data.patch_wire import patchify_videos
+
+    return patchify_videos(videos, tuple(patch))
+
+
 def collate_clip(
     items: List[Dict[str, Any]],
     tokenizer,
     max_text_length: int = 512,
     length_buckets: Optional[List[int]] = None,
+    patch: Optional[Sequence[int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Plain CLIP mode: stacked videos + tokenized per-sample report
     (reference :946-969)."""
-    videos = np.stack([it["videos"] for it in items])
+    videos = _maybe_patchify(np.stack([it["videos"] for it in items]), patch)
     mask = np.stack([it["video_mask"] for it in items])
     texts = [it["text"] for it in items]
     enc = tokenizer(
@@ -70,6 +96,7 @@ def collate_multi_positive(
     tokenizer,
     max_text_length: int = 512,
     max_texts: int = 64,
+    patch: Optional[Sequence[int]] = None,
 ) -> Dict[str, np.ndarray]:
     """SigLIP multi-positive mode (reference :843-944): dedup text ids across
     the batch into a unique-text bank [M<=max_texts], build ``positive_mask``
@@ -121,7 +148,8 @@ def collate_multi_positive(
     valid[:M] = 1.0
 
     out = {
-        "videos": np.stack([it["videos"] for it in items]),
+        "videos": _maybe_patchify(
+            np.stack([it["videos"] for it in items]), patch),
         "video_mask": np.stack([it["video_mask"] for it in items]),
         "input_ids": np.asarray(enc["input_ids"], np.int32),
         "attention_mask": np.asarray(enc["attention_mask"], np.int32),
@@ -138,11 +166,13 @@ def collate_multi_positive(
 def collate_mil(
     items: List[Dict[str, Any]],
     head_names: Sequence[str],
+    patch: Optional[Sequence[int]] = None,
 ) -> Dict[str, Any]:
     """MIL/probing mode (reference video_dataset custom_collate_fn:426-505):
     targets dict per head + optional view_ids."""
     out: Dict[str, Any] = {
-        "videos": np.stack([it["videos"] for it in items]),
+        "videos": _maybe_patchify(
+            np.stack([it["videos"] for it in items]), patch),
         "video_mask": np.stack([it["video_mask"] for it in items]),
         "targets": {
             h: np.stack([np.asarray(it["targets"][h]) for it in items])

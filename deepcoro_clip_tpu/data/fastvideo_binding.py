@@ -62,6 +62,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fv_augment_op.argtypes = [
             u8p, c, c, c, c, c, ctypes.c_float, ctypes.c_float,
         ]
+    if hasattr(lib, "fv_space_to_depth_batch"):  # patch-major wire (round 3)
+        lib.fv_space_to_depth_batch.argtypes = [
+            u8p, c, c, c, c, c, c, c, c, u8p,
+        ]
     _lib = lib
     return _lib
 

@@ -243,7 +243,9 @@ class _PatchProj(nn.Module):
 
     @nn.compact
     def __call__(self, patches, fold_stats: bool = False):
-        # patches: [B, L, pt*ph*pw*C]
+        # patches: [B, Tn, pt, Hn, ph, Wn, pw, C] device grid, or
+        # pre-flattened [B, L, pt*ph*pw*C] (the host patch-major wire,
+        # data/patch_wire.py — K ordering matches the kernel reshape below)
         pt, ph, pw = self.patch
         kernel = self.param(
             "kernel",
@@ -268,6 +270,18 @@ class _PatchProj(nn.Module):
             # fold (x-m)/s into kernel/bias along the channel axis
             b = bias - jnp.einsum("c,thwcd->d", m / s, kernel)
             w = kernel / s[None, None, None, :, None]
+        if patches.ndim == 3:
+            # host patch-major wire: the layout change already happened on
+            # the CPU (contiguous memcpy runs), so the device does ONE clean
+            # [B, L, K] @ [K, dim] MXU dot — no strided uint8 operand copy
+            # (profiled at 22.6 GiB/s / ~5.5 ms/step on the device path).
+            wk = w.reshape(pt * ph * pw * self.in_channels, self.dim)
+            y = jax.lax.dot_general(
+                patches.astype(self.dtype), wk.astype(self.dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=self.dtype,
+            )  # [B, L, dim]
+            return y + b.astype(self.dtype)
         # unpermuted patch grid [B, Tn, pt, Hn, ph, Wn, pw, C]: contract the
         # scattered (pt, ph, pw, C) axes directly. XLA still schedules its
         # own operand copy (measured equal to an explicit transpose at
@@ -305,10 +319,32 @@ class PatchEmbed3D(nn.Module):
     dtype: Dtype = jnp.bfloat16
     pixel_mean: Optional[Tuple[float, ...]] = None
     pixel_std: Optional[Tuple[float, ...]] = None
+    # static token grid (T', H', W') for the pre-flattened patch-major wire
+    # ([B, L, K] uint8 from data/patch_wire.py) — the grid can't be inferred
+    # from L alone and RoPE tables need it at trace time
+    patch_grid: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x):
         pt, ph, pw = self.patch
+        if x.ndim == 3:  # host patch-major wire [B, L, K]
+            if self.patch_grid is None:
+                raise ValueError(
+                    "patch-major input requires patch_grid=(T', H', W') "
+                    "(set video_encoder patch_grid / config frames+resize)"
+                )
+            Tn, Hn, Wn = self.patch_grid
+            assert x.shape[1] == Tn * Hn * Wn, (
+                f"patch-wire token count {x.shape[1]} != grid {self.patch_grid}"
+            )
+            is_raw = jnp.issubdtype(x.dtype, jnp.integer)
+            C = x.shape[-1] // (pt * ph * pw)
+            y = _PatchProj(
+                self.dim, (pt, ph, pw), C, self.dtype,
+                pixel_mean=self.pixel_mean, pixel_std=self.pixel_std,
+                name="conv",
+            )(x, fold_stats=bool(is_raw))
+            return y, (Tn, Hn, Wn)
         B, T, H, W, C = x.shape
         is_raw = jnp.issubdtype(x.dtype, jnp.integer)
         if T % pt or H % ph or W % pw:  # pad right to a whole patch grid

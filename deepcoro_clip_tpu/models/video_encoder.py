@@ -65,12 +65,16 @@ class CoroViT(nn.Module):
     # batches (models/layers.PatchEmbed3D)
     pixel_mean: Optional[Tuple[float, ...]] = None
     pixel_std: Optional[Tuple[float, ...]] = None
+    # static token grid for the host patch-major wire ([B, L, K] inputs,
+    # data/patch_wire.py); unused for spatial [B, T, H, W, C] inputs
+    patch_grid: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x, (T, H, W) = PatchEmbed3D(self.dim, tuple(self.patch), self.dtype,
                                     pixel_mean=self.pixel_mean,
                                     pixel_std=self.pixel_std,
+                                    patch_grid=self.patch_grid,
                                     name="patch_embed")(x)
         B = x.shape[0]
         n_special = 1 if self.use_cls_token else 0
@@ -141,6 +145,9 @@ class VideoEncoder(nn.Module):
     ring_axis: str = "model"
     pixel_mean: Optional[Tuple[float, ...]] = None
     pixel_std: Optional[Tuple[float, ...]] = None
+    # token grid for patch-major wire inputs (data/patch_wire.py):
+    # [B, N, L, K] / [B, L, K] uint8 instead of [B, N, T, H, W, C]
+    patch_grid: Optional[Tuple[int, int, int]] = None
 
     def setup(self):
         self.backbone = CoroViT(
@@ -158,6 +165,7 @@ class VideoEncoder(nn.Module):
             ring_axis=self.ring_axis,
             pixel_mean=self.pixel_mean,
             pixel_std=self.pixel_std,
+            patch_grid=self.patch_grid,
         )
         self.proj = ProjectionHead(
             self.embedding_dim, dropout=self.dropout, dtype=self.dtype
@@ -176,8 +184,15 @@ class VideoEncoder(nn.Module):
             use_flash=self.use_flash,
         )
 
+    @staticmethod
+    def _with_video_axis(x):
+        """Insert the N=1 video axis for unbatched-video inputs: spatial
+        [B, T, H, W, C] (ndim 5) or patch-major [B, L, K] (ndim 3)."""
+        return x[:, None] if x.ndim in (3, 5) else x
+
     def _encode_clips(self, x, deterministic):
-        """[B, N, T, H, W, C] -> tokens [B, N, L, D_emb] (projected)."""
+        """[B, N, T, H, W, C] (or patch-major [B, N, L, K]) -> tokens
+        [B, N, L, D_emb] (projected)."""
         B, N = x.shape[:2]
         clips = x.reshape((B * N,) + x.shape[2:])
         toks = self.backbone(clips, deterministic=deterministic)
@@ -205,8 +220,7 @@ class VideoEncoder(nn.Module):
     ):
         """x: [B, N, T, H, W, C] or [B, T, H, W, C]; video_mask: [B, N]
         (True = real video, False = zero-padded slot)."""
-        if x.ndim == 5:
-            x = x[:, None]
+        x = self._with_video_axis(x)
         toks = self._encode_clips(x, deterministic)
         B, N, L, D = toks.shape
 
@@ -229,8 +243,7 @@ class VideoEncoder(nn.Module):
         """One backbone pass -> every granularity (the multitask runner's
         single-token-pass pattern, reference: runners/multitask_runner.py:
         764-793): {"tokens": [B,N,L,D], "video": [B,N,D], "study": [B,D]}."""
-        if x.ndim == 5:
-            x = x[:, None]
+        x = self._with_video_axis(x)
         toks = self._encode_clips(x, deterministic)
         per_video = self._pool_video(toks, deterministic)
         study = self.aggregator(
@@ -249,8 +262,7 @@ class VideoEncoder(nn.Module):
     def get_tokens(self, x, mode: str = "patch", deterministic: bool = True):
         """mode: 'patch' -> [B, N, L, D]; 'video' -> [B, N, D];
         'study' -> [B, D] (reference get_tokens, models/video_encoder.py:498-522)."""
-        if x.ndim == 5:
-            x = x[:, None]
+        x = self._with_video_axis(x)
         toks = self._encode_clips(x, deterministic)
         if mode == "patch":
             return toks
@@ -336,4 +348,20 @@ def video_encoder_from_config(cfg, aggregate=None, per_video=None,
         # identically whichever field the config carries
         pixel_mean=(tuple(_cfg_mean) if _cfg_mean else None),
         pixel_std=(tuple(_cfg_std) if _cfg_std else None),
+        patch_grid=_config_patch_grid(cfg, tuple(arch["vit_patch"])),
     )
+
+
+def _config_patch_grid(cfg, patch) -> Optional[Tuple[int, int, int]]:
+    """Static token grid from config clip dims — enables patch-major wire
+    inputs ([B, N, L, K], data/patch_wire.py). Inert for spatial inputs;
+    None when clip dims are absent or don't tile (then only the spatial
+    wire is accepted)."""
+    frames = getattr(cfg, "frames", None)
+    size = getattr(cfg, "resize", None)
+    if not frames or not size:
+        return None
+    pt, ph, pw = patch
+    if frames % pt or size % ph or size % pw:
+        return None
+    return (frames // pt, size // ph, size // pw)

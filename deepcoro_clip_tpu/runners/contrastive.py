@@ -198,6 +198,9 @@ class VideoContrastiveLearningRunner:
 
     def _collate(self, items):
         cfg = self.config
+        from deepcoro_clip_tpu.data.collate import wire_patch
+
+        patch = wire_patch(cfg)
         if self.multi_positive:
             batch = collate_multi_positive(
                 items, self.tokenizer,
@@ -207,6 +210,7 @@ class VideoContrastiveLearningRunner:
                 max_texts=cfg.batch_size
                 * (cfg.siglip_max_positive_per_video
                    + cfg.siglip_negatives_per_video),
+                patch=patch,
             )
         else:
             # dynamic buckets are per-host batch content; multi-host SPMD
@@ -215,7 +219,7 @@ class VideoContrastiveLearningRunner:
                        if cfg.process_count == 1 else [])
             batch = collate_clip(
                 items, self.tokenizer, max_text_length=cfg.max_text_length,
-                length_buckets=buckets,
+                length_buckets=buckets, patch=patch,
             )
         if cfg.locca_enabled:
             # LocCa generation targets: reconstructed report (SigLIP mode,

@@ -131,7 +131,10 @@ class LinearProbingRunner:
             drop_last=training, process_index=cfg.process_index,
             process_count=cfg.process_count,
         )
-        collate = lambda items: collate_mil(items, list(cfg.head_structure))
+        from deepcoro_clip_tpu.data.collate import wire_patch
+
+        collate = lambda items: collate_mil(
+            items, list(cfg.head_structure), patch=wire_patch(cfg))
         return PrefetchLoader(dataset, sampler, collate,
                               num_workers=max(1, cfg.num_workers))
 

@@ -102,10 +102,12 @@ class MultitaskRunner:
 
     def _collate(self, items):
         cfg = self.config
+        from deepcoro_clip_tpu.data.collate import wire_patch
+
         buckets = (cfg.text_length_buckets if cfg.process_count == 1 else [])
         batch = collate_clip(items, self.tokenizer,
                              max_text_length=cfg.max_text_length,
-                             length_buckets=buckets)
+                             length_buckets=buckets, patch=wire_patch(cfg))
         cap = self.tokenizer(
             batch["texts"], max_length=cfg.decoder_max_length,
             padding="max_length", truncation=True, return_tensors="np",

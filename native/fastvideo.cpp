@@ -416,4 +416,46 @@ void fv_augment_op(uint8_t* clip, int T, int H, int W, int C, int op,
   }
 }
 
+// Patch-major wire: space-to-depth a uint8 clip [T, H, W, C] into
+// [Tn*Hn*Wn, pt*ph*pw*C] (token-major rows, K index =
+// ((dt*ph + dh)*pw + dw)*C + c — the contraction order of the device-side
+// patchify dot_general in models/layers._PatchProj). Doing this layout on
+// the host turns the device patchify into a pure MXU matmul: XLA's operand
+// copy for the strided uint8 gather ran at 22.6 GiB/s (~5.5 ms/step = 5.8%
+// of the flagship train step, dev/profile_step.py round 3).
+// The inner copy moves pw*C contiguous bytes per (token, dt, dh) — 48-byte
+// runs at the flagship (2,16,16)x3 patch — walking the input sequentially
+// within each frame row band, so it runs at memcpy-like speed.
+void fv_space_to_depth(const uint8_t* in, int T, int H, int W, int C,
+                       int pt, int ph, int pw, uint8_t* out) {
+  const int Tn = T / pt, Hn = H / ph, Wn = W / pw;
+  const size_t row = (size_t)W * C;       // one input row of pixels
+  const size_t frame = (size_t)H * row;   // one input frame
+  const size_t run = (size_t)pw * C;      // contiguous bytes per copy
+  const size_t K = (size_t)pt * ph * run; // bytes per output token row
+  for (int tn = 0; tn < Tn; ++tn)
+    for (int hn = 0; hn < Hn; ++hn)
+      for (int dt = 0; dt < pt; ++dt)
+        for (int dh = 0; dh < ph; ++dh) {
+          const uint8_t* src =
+              in + (size_t)(tn * pt + dt) * frame + (size_t)(hn * ph + dh) * row;
+          uint8_t* dst = out + ((size_t)(tn * Hn + hn) * Wn) * K +
+                         ((size_t)dt * ph + dh) * run;
+          for (int wn = 0; wn < Wn; ++wn)
+            std::memcpy(dst + (size_t)wn * K, src + (size_t)wn * run, run);
+        }
+}
+
+// Batched variant over BN clips (threaded across clips).
+void fv_space_to_depth_batch(const uint8_t* in, int BN, int T, int H, int W,
+                             int C, int pt, int ph, int pw, uint8_t* out) {
+  const size_t in_sz = (size_t)T * H * W * C;
+  const int Tn = T / pt, Hn = H / ph, Wn = W / pw;
+  const size_t out_sz = (size_t)Tn * Hn * Wn * pt * ph * pw * C;
+  run_threaded(BN, [&](int i) {
+    fv_space_to_depth(in + (size_t)i * in_sz, T, H, W, C, pt, ph, pw,
+                      out + (size_t)i * out_sz);
+  });
+}
+
 }  // extern "C"
