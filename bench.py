@@ -99,8 +99,9 @@ def main() -> None:
     ).astype(np.uint8)
     # patch-major wire (data/patch_wire.py): host does the space-to-depth,
     # device patchify becomes a pure MXU matmul (DEEPCORO_PATCH_WIRE=0 opts
-    # out -> raw [B,N,T,H,W,C] wire with the device-side operand copy)
-    patch_wire_on = os.environ.get("DEEPCORO_PATCH_WIRE", "0") == "1"
+    # out -> raw [B,N,T,H,W,C] wire with the device-side operand copy).
+    # Default ON after the on-chip A/B: 160.5 -> 165.4 clips/s/chip.
+    patch_wire_on = os.environ.get("DEEPCORO_PATCH_WIRE", "1") == "1"
     if patch_wire_on:
         from deepcoro_clip_tpu.data.patch_wire import patchify_videos
         from deepcoro_clip_tpu.models.video_encoder import resolve_architecture

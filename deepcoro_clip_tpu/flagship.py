@@ -54,6 +54,17 @@ def flagship_config(**overrides) -> ClipConfig:
         loss_name="contrastive",
         precision="bf16",
         use_pallas_attention=True,
+        # videos travel patch-major uint8 ([B, N, L, K], data/patch_wire.py):
+        # the host does the space-to-depth (contiguous 48-byte memcpys,
+        # native fv_space_to_depth_batch) and the device patchify is one
+        # clean MXU dot. On-chip A/B at B=16/text-512: 160.5 -> 165.4
+        # clips/s/chip, MFU 0.440 -> 0.454 (docs/KERNELS.md). H2D bytes are
+        # identical; the wire itself is an exact permutation
+        # (tests/models/test_patch_wire.py; fp32 wires agree on chip to
+        # 1.4e-5) — under bf16 the layout change reorders matmul
+        # accumulation, so embeddings differ by ~7e-3 rel, the same class
+        # of noise as any XLA fusion change.
+        patch_wire=True,
         epochs=30,
     )
     d.update(overrides)

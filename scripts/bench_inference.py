@@ -10,6 +10,7 @@ Usage: python scripts/bench_inference.py [n_clips_per_study] [bank_size]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -17,6 +18,13 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Serving wire variants (see docs/KERNELS.md "Per-study inference"):
+#   DEEPCORO_INFER_WIRE=f32    legacy float32 pixels (4 B/px H2D)
+#   DEEPCORO_INFER_WIRE=u8     uint8 pixels, stats folded on-device (1 B/px)
+#   DEEPCORO_INFER_WIRE=patch  uint8 patch-major (data/patch_wire.py): host
+#                              space-to-depth, device patchify is a pure dot
+WIRE = os.environ.get("DEEPCORO_INFER_WIRE", "patch")
 
 
 def main():
@@ -36,10 +44,23 @@ def main():
     model = video_encoder_from_config(cfg)
     r = np.random.default_rng(0)
 
-    study = jnp.asarray(
-        r.normal(size=(1, n_clips, cfg.frames, cfg.resize, cfg.resize, 3))
-        .astype(np.float32)
-    )
+    shape = (1, n_clips, cfg.frames, cfg.resize, cfg.resize, 3)
+
+    def make_study() -> np.ndarray:
+        if WIRE == "f32":
+            return r.normal(size=shape).astype(np.float32)
+        clip = r.integers(0, 255, size=shape).astype(np.uint8)
+        if WIRE == "patch":
+            from deepcoro_clip_tpu.data.patch_wire import patchify_videos
+            from deepcoro_clip_tpu.models.video_encoder import (
+                resolve_architecture,
+            )
+
+            return patchify_videos(clip, tuple(resolve_architecture(cfg)
+                                               ["vit_patch"]))
+        return clip
+
+    study = jnp.asarray(make_study())
     mask = jnp.ones((1, n_clips), bool)
     params = model.init({"params": jax.random.PRNGKey(0),
                          "dropout": jax.random.PRNGKey(0)}, study,
@@ -61,13 +82,10 @@ def main():
     jax.block_until_ready(i)
 
     # vary the input each iteration: defeats any execution replay caching and
-    # includes the H2D transfer of the study tensor (real deployment path)
-    studies = [
-        np.asarray(
-            r.normal(size=(1, n_clips, cfg.frames, cfg.resize, cfg.resize, 3))
-        ).astype(np.float32)
-        for _ in range(10)
-    ]
+    # includes the H2D transfer of the study tensor (real deployment path;
+    # for WIRE=patch the per-study host space-to-depth is measured with the
+    # rest of the host preprocessing below)
+    studies = [make_study() for _ in range(10)]
     lat = []
     for arr in studies:
         t0 = time.perf_counter()
@@ -87,11 +105,21 @@ def main():
         for _ in range(n_clips):
             fv.sample_resize_normalize(raw, idx, cfg.resize, cfg.resize, mean, std)
         prep = time.perf_counter() - t0
+        if WIRE == "patch":  # per-study layout change rides the host too
+            from deepcoro_clip_tpu.data.patch_wire import patchify_videos
+            from deepcoro_clip_tpu.models.video_encoder import (
+                resolve_architecture,
+            )
+
+            clip = r.integers(0, 255, size=shape).astype(np.uint8)
+            t0 = time.perf_counter()
+            patchify_videos(clip, tuple(resolve_architecture(cfg)["vit_patch"]))
+            prep += time.perf_counter() - t0
     else:
         prep = float("nan")
 
     print(f"study = {n_clips} clips x {cfg.frames}f@{cfg.resize}px, "
-          f"bank = {bank_size} texts")
+          f"bank = {bank_size} texts, wire = {WIRE}")
     print(f"device inference latency: p50 {np.percentile(lat, 50)*1e3:.1f} ms, "
           f"p95 {np.percentile(lat, 95)*1e3:.1f} ms")
     print(f"host preprocessing ({n_clips} clips): {prep*1e3:.1f} ms")
