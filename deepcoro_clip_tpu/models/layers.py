@@ -28,6 +28,22 @@ from deepcoro_clip_tpu.ops.flash_attention_packed import flash_attention_packed
 Dtype = jnp.dtype
 
 
+def epilogue_barrier(x):
+    """Optionally split elementwise epilogues off the preceding matmul.
+
+    XLA fuses residual-add / LayerNorm stats / GELU into the producing
+    dot's output fusion; the step profile shows those fused dots at
+    73-80 TF/s vs ~110+ for clean dots (docs/KERNELS.md). With
+    ``DEEPCORO_EPILOGUE_BARRIER=1`` an ``optimization_barrier`` after the
+    dot forces the epilogue into a separate (HBM-bound, cheap) loop fusion
+    so the dot keeps the MXU to itself. Measurement knob, default off;
+    the A/B lives in dev/epilogue_bench.py.
+    """
+    if os.environ.get("DEEPCORO_EPILOGUE_BARRIER", "0") == "1":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def dense(
     features: int,
     partition: Tuple[Optional[str], Optional[str]] = (None, None),
@@ -59,9 +75,11 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = dense(self.hidden_dim, (None, "model"), dtype=self.dtype, name="fc1")(x)
+        x = epilogue_barrier(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = dense(self.out_dim, ("model", None), dtype=self.dtype, name="fc2")(x)
+        x = epilogue_barrier(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -124,6 +142,7 @@ class Attention(nn.Module):
                 )
                 out = dense(self.dim, ("model", None), dtype=self.dtype,
                             name="proj")(out)
+                out = epilogue_barrier(out)
                 return nn.Dropout(self.dropout)(out,
                                                 deterministic=deterministic)
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -138,6 +157,7 @@ class Attention(nn.Module):
                 )
                 out = dense(self.dim, ("model", None), dtype=self.dtype,
                             name="proj")(out)
+                out = epilogue_barrier(out)
                 return nn.Dropout(self.dropout)(out,
                                                 deterministic=deterministic)
 
@@ -171,6 +191,7 @@ class Attention(nn.Module):
             )
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
         out = dense(self.dim, ("model", None), dtype=self.dtype, name="proj")(out)
+        out = epilogue_barrier(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 

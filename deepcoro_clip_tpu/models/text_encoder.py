@@ -22,7 +22,11 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deepcoro_clip_tpu.models.layers import ProjectionHead, dense
+from deepcoro_clip_tpu.models.layers import (
+    ProjectionHead,
+    dense,
+    epilogue_barrier,
+)
 from deepcoro_clip_tpu.ops.flash_attention import flash_attention
 from deepcoro_clip_tpu.ops.flash_attention_packed import flash_attention_packed
 from deepcoro_clip_tpu.registry import ModelRegistry
@@ -62,6 +66,7 @@ class BertSelfAttention(nn.Module):
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
         out = dense(self.dim, ("model", None), dtype=self.dtype, name="out")(out)
+        out = epilogue_barrier(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
@@ -84,8 +89,10 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="attention_norm")(x + attn)
         x = x.astype(self.dtype)
         h = dense(self.mlp_dim, (None, "model"), dtype=self.dtype, name="intermediate")(x)
+        h = epilogue_barrier(h)
         h = nn.gelu(h, approximate=False)  # exact erf GELU (HF BERT parity)
         h = dense(self.dim, ("model", None), dtype=self.dtype, name="output")(h)
+        h = epilogue_barrier(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(dtype=jnp.float32, name="output_norm")(x + h)
         return x.astype(self.dtype)

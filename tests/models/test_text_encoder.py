@@ -54,3 +54,27 @@ def test_batch_independence():
     emb_g = g["params"]["word_embeddings"]["embedding"]
     for tok in ids_only_in_1:
         assert float(jnp.max(jnp.abs(emb_g[tok]))) == 0.0
+
+
+def test_epilogue_barrier_is_numerics_transparent(monkeypatch):
+    """DEEPCORO_EPILOGUE_BARRIER only splits XLA fusions; values and grads
+    must be bit-identical in fp32 (models/layers.py::epilogue_barrier)."""
+    m = tiny_text()
+    ids = _ids()
+    params = m.init(jax.random.PRNGKey(0), ids)
+
+    def run():
+        def loss(p):
+            return jnp.sum(m.apply(p, ids).astype(jnp.float32) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        return float(l), [np.asarray(x) for x in leaves]
+
+    monkeypatch.setenv("DEEPCORO_EPILOGUE_BARRIER", "0")
+    l0, g0 = run()
+    monkeypatch.setenv("DEEPCORO_EPILOGUE_BARRIER", "1")
+    l1, g1 = run()
+    assert l0 == l1
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(a, b)
