@@ -66,6 +66,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fv_space_to_depth_batch.argtypes = [
             u8p, c, c, c, c, c, c, c, c, u8p,
         ]
+    if hasattr(lib, "fv_sample_resize_u8"):  # uint8-output resize (round 3)
+        lib.fv_resize_bilinear_u8.argtypes = [u8p, c, c, c, c, u8p, c, c]
+        lib.fv_sample_resize_u8.argtypes = [u8p, c, c, c, c, i64p, c, u8p, c, c]
+        lib.fv_sample_resize_patch.argtypes = [
+            u8p, c, c, c, c, i64p, c, c, c, c, c, c, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -109,6 +115,76 @@ def sample_resize_normalize(
     s = np.ascontiguousarray(std if std is not None else np.ones(C), np.float32)
     lib.fv_sample_resize_normalize(
         frames, F, H, W, C, idx, len(idx), out, oh, ow, m, s, int(do_norm)
+    )
+    return out
+
+
+def u8_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fv_sample_resize_u8")
+
+
+def resize_bilinear_u8(frames: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """[F,H,W,C] uint8 -> [F,oh,ow,C] uint8 (round-half-up).
+
+    The uint8-wire resize: normalization folds into the device patchify
+    weights, so the host keeps pixels uint8 end-to-end (1/4 the write
+    traffic of the float32 resize and no separate cast pass)."""
+    lib = _load()
+    assert lib is not None
+    if frames.dtype != np.uint8:
+        raise TypeError(f"fastvideo operates on uint8 frames, got {frames.dtype}")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    F, H, W, C = frames.shape
+    out = np.empty((F, oh, ow, C), np.uint8)
+    lib.fv_resize_bilinear_u8(frames, F, H, W, C, out, oh, ow)
+    return out
+
+
+def sample_resize_u8(
+    frames: np.ndarray, idx: np.ndarray, oh: int, ow: int
+) -> np.ndarray:
+    """Fused gather+resize: [F,H,W,C] u8 + [n] idx -> [n,oh,ow,C] u8."""
+    lib = _load()
+    assert lib is not None
+    if frames.dtype != np.uint8:
+        raise TypeError(f"fastvideo operates on uint8 frames, got {frames.dtype}")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    F, H, W, C = frames.shape
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = np.empty((len(idx), oh, ow, C), np.uint8)
+    lib.fv_sample_resize_u8(frames, F, H, W, C, idx, len(idx), out, oh, ow)
+    return out
+
+
+def sample_resize_patch(
+    frames: np.ndarray,
+    idx: np.ndarray,
+    oh: int,
+    ow: int,
+    patch: tuple[int, int, int],
+) -> np.ndarray:
+    """Fused gather+resize+space-to-depth for the patch-major serving wire.
+
+    [F,H,W,C] u8 + [T] idx -> [L, K] u8 with L = (T/pt)(oh/ph)(ow/pw),
+    K = pt*ph*pw*C — the resized frames are never materialized
+    (data/patch_wire.py layout; device patchify is a pure MXU dot)."""
+    lib = _load()
+    assert lib is not None
+    if frames.dtype != np.uint8:
+        raise TypeError(f"fastvideo operates on uint8 frames, got {frames.dtype}")
+    pt, ph, pw = patch
+    if len(idx) % pt or oh % ph or ow % pw:
+        raise ValueError(
+            f"patch {patch} must divide (T={len(idx)}, oh={oh}, ow={ow})"
+        )
+    frames = np.ascontiguousarray(frames, np.uint8)
+    F, H, W, C = frames.shape
+    idx = np.ascontiguousarray(idx, np.int64)
+    L = (len(idx) // pt) * (oh // ph) * (ow // pw)
+    out = np.empty((L, pt * ph * pw * C), np.uint8)
+    lib.fv_sample_resize_patch(
+        frames, F, H, W, C, idx, len(idx), oh, ow, pt, ph, pw, out
     )
     return out
 

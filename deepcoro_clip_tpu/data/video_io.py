@@ -165,8 +165,20 @@ def load_video(
     """
     raw = _load_raw(path)
     idx = sample_frame_indices(raw.shape[0], n_frames, stride, rng)
-    frames = raw[idx]
-    frames = _resize_frames(frames, resize)
+    if (
+        output_dtype == "uint8"
+        and raw.dtype == np.uint8
+        and raw.shape[1:3] != (resize, resize)
+        and _fast.u8_available()
+    ):
+        # uint8 wire: fused native gather+resize straight to uint8 — skips
+        # the numpy index-gather copy, the float32 resize buffer (4x the
+        # bytes), and the round/cast pass below (round-half-up vs numpy's
+        # half-even on the f32 path: a <=1/255 difference on exact halves)
+        frames = _fast.sample_resize_u8(raw, idx, resize, resize)
+    else:
+        frames = raw[idx]
+        frames = _resize_frames(frames, resize)
     if rand_augment and rng is not None:
         frames = augment_frames(frames, rng)
     if output_dtype == "uint8":

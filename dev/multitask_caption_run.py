@@ -79,6 +79,9 @@ def main():
         scheduler_name="cosine_with_warmup",
         precision="fp32", use_pallas_attention=False,
         use_wandb=False, seed=0,
+        # DEEPCORO_CAP_RESUME=1 continues a timed-out run from its latest
+        # checkpoint (the runner's epoch-folded RNG keeps it equivalent)
+        resume_training=os.environ.get("DEEPCORO_CAP_RESUME", "0") == "1",
         # caption-focused weighting: the artifact this run exists for is
         # readable generated text (contrastive/MVM coverage lives in the
         # main quality + test suites)
@@ -100,7 +103,10 @@ def main():
         config, output_dir=str(RUN_DIR / "run")
     )
     print("tokenizer:", type(runner.tokenizer).__name__, flush=True)
-    result = runner.train()
+    # go through maybe_resume like the project path does — calling train()
+    # bare ignores resume_training and restarts from epoch 0 over the
+    # existing checkpoints
+    result = runner.train(start_epoch=runner.maybe_resume())
     wall = time.perf_counter() - t0
     (RUN_DIR / "run_meta.json").write_text(json.dumps(
         {"wall": wall, "epochs": epochs, "ss_prob": SS_PROB}))

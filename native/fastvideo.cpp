@@ -58,26 +58,44 @@ ResizePlan make_plan(int H, int W, int oh, int ow) {
   return p;
 }
 
-// Separable bilinear: vertical blend into a row buffer, then horizontal.
-void resize_frame(const uint8_t* in, const ResizePlan& p, int C, float* out,
-                  std::vector<float>& rowbuf) {
+// Output stores: float passthrough or round-half-up uint8 (bilinear of
+// [0,255] inputs stays in range, so no clamp is needed).
+inline void store_px(float v, float* dst) { *dst = v; }
+inline void store_px(float v, uint8_t* dst) { *dst = (uint8_t)(v + 0.5f); }
+
+// One resized output row: vertical blend of two source rows into a float
+// row buffer, then horizontal lerp into `orow` (float or uint8).
+template <typename OutT>
+inline void resize_one_row(const uint8_t* row0, const uint8_t* row1, float wy,
+                           const ResizePlan& p, int C, OutT* orow,
+                           std::vector<float>& rowbuf) {
   const int W = p.W, ow = p.ow;
   rowbuf.resize((size_t)W * C);
-  for (int y = 0; y < p.oh; ++y) {
-    const uint8_t* row0 = in + (size_t)p.y0[y] * W * C;
-    const uint8_t* row1 = in + (size_t)p.y1[y] * W * C;
-    const float wy = p.wy[y];
-    float* rb = rowbuf.data();
-    const int n = W * C;
-    for (int i = 0; i < n; ++i) rb[i] = lerp(row0[i], row1[i], wy);
-    float* orow = out + (size_t)y * ow * C;
-    for (int x = 0; x < ow; ++x) {
-      const float* a = rb + (size_t)p.x0[x] * C;
-      const float* b = rb + (size_t)p.x1[x] * C;
-      const float wx = p.wx[x];
-      for (int c = 0; c < C; ++c) orow[x * C + c] = lerp(a[c], b[c], wx);
-    }
+  float* rb = rowbuf.data();
+  const int n = W * C;
+  for (int i = 0; i < n; ++i) rb[i] = lerp(row0[i], row1[i], wy);
+  for (int x = 0; x < ow; ++x) {
+    const float* a = rb + (size_t)p.x0[x] * C;
+    const float* b = rb + (size_t)p.x1[x] * C;
+    const float wx = p.wx[x];
+    for (int c = 0; c < C; ++c) store_px(lerp(a[c], b[c], wx), orow + x * C + c);
   }
+}
+
+// Separable bilinear: vertical blend into a row buffer, then horizontal.
+template <typename OutT>
+void resize_frame_t(const uint8_t* in, const ResizePlan& p, int C, OutT* out,
+                    std::vector<float>& rowbuf) {
+  const int W = p.W, ow = p.ow;
+  for (int y = 0; y < p.oh; ++y) {
+    resize_one_row(in + (size_t)p.y0[y] * W * C, in + (size_t)p.y1[y] * W * C,
+                   p.wy[y], p, C, out + (size_t)y * ow * C, rowbuf);
+  }
+}
+
+void resize_frame(const uint8_t* in, const ResizePlan& p, int C, float* out,
+                  std::vector<float>& rowbuf) {
+  resize_frame_t(in, p, C, out, rowbuf);
 }
 
 void run_threaded(int n, const std::function<void(int)>& fn) {
@@ -136,6 +154,77 @@ void fv_sample_resize_normalize(const uint8_t* in, int F, int H, int W, int C,
       for (size_t p = 0; p < n; ++p)
         for (int c = 0; c < C; ++c)
           dst[p * C + c] = (dst[p * C + c] - mean[c]) * inv[c];
+    }
+  });
+}
+
+// uint8-output variants for the uint8 H2D wire: normalization is folded
+// into the device patchify weights (models/layers._PatchProj), so the host
+// must NOT produce normalized float pixels — writing uint8 directly cuts
+// the resize output traffic 4x and removes the separate f32->u8 cast pass
+// the loader otherwise does (data/video_io.py load_video output_dtype
+// handling; reference normalizes on the host instead, utils/video.py:278).
+// in: [F, H, W, C] uint8; out: [F, oh, ow, C] uint8
+void fv_resize_bilinear_u8(const uint8_t* in, int F, int H, int W, int C,
+                           uint8_t* out, int oh, int ow) {
+  const ResizePlan plan = make_plan(H, W, oh, ow);
+  run_threaded(F, [&](int f) {
+    thread_local std::vector<float> rowbuf;
+    resize_frame_t(in + (size_t)f * H * W * C, plan, C,
+                   out + (size_t)f * oh * ow * C, rowbuf);
+  });
+}
+
+// Fused gather+resize to uint8 (replaces the numpy idx-gather copy AND the
+// f32 resize + round/cast passes on the uint8 wire).
+// in: [F, H, W, C] uint8; idx: [n_out]; out: [n_out, oh, ow, C] uint8.
+void fv_sample_resize_u8(const uint8_t* in, int F, int H, int W, int C,
+                         const int64_t* idx, int n_out, uint8_t* out,
+                         int oh, int ow) {
+  const ResizePlan plan = make_plan(H, W, oh, ow);
+  run_threaded(n_out, [&](int i) {
+    thread_local std::vector<float> rowbuf;
+    int64_t f = idx[i];
+    if (f < 0) f = 0;
+    if (f >= F) f = F - 1;
+    resize_frame_t(in + (size_t)f * H * W * C, plan, C,
+                   out + (size_t)i * oh * ow * C, rowbuf);
+  });
+}
+
+// Fully fused serving-wire kernel: gather frames by index, resize, and
+// write straight into the patch-major layout (data/patch_wire.py) — the
+// resized frame is never materialized. Each resized output row lands as
+// Wn runs of pw*C contiguous bytes at token-row strides, exactly like
+// fv_space_to_depth's inner loop.
+// in: [F, H, W, C] uint8; idx: [n_out] (n_out = T, divisible by pt);
+// out: [(n_out/pt)*(oh/ph)*(ow/pw), pt*ph*pw*C] uint8.
+void fv_sample_resize_patch(const uint8_t* in, int F, int H, int W, int C,
+                            const int64_t* idx, int n_out, int oh, int ow,
+                            int pt, int ph, int pw, uint8_t* out) {
+  const ResizePlan plan = make_plan(H, W, oh, ow);
+  const int Hn = oh / ph, Wn = ow / pw;
+  const size_t run = (size_t)pw * C;       // contiguous bytes per copy
+  const size_t K = (size_t)pt * ph * run;  // bytes per output token row
+  run_threaded(n_out, [&](int t) {
+    thread_local std::vector<float> rowbuf;
+    thread_local std::vector<uint8_t> u8row;
+    u8row.resize((size_t)ow * C);
+    int64_t f = idx[t];
+    if (f < 0) f = 0;
+    if (f >= F) f = F - 1;
+    const uint8_t* frame = in + (size_t)f * H * W * C;
+    const size_t tok0 = (size_t)(t / pt) * Hn * Wn;  // first token of tn
+    const size_t dt = (size_t)(t % pt);
+    for (int y = 0; y < oh; ++y) {
+      resize_one_row(frame + (size_t)plan.y0[y] * W * C,
+                     frame + (size_t)plan.y1[y] * W * C, plan.wy[y], plan, C,
+                     u8row.data(), rowbuf);
+      uint8_t* dst = out + (tok0 + (size_t)(y / ph) * Wn) * K +
+                     (dt * ph + (size_t)(y % ph)) * run;
+      for (int wn = 0; wn < Wn; ++wn)
+        std::memcpy(dst + (size_t)wn * K, u8row.data() + (size_t)wn * run,
+                    run);
     }
   });
 }

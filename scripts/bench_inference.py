@@ -95,25 +95,35 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat = np.array(lat)
 
-    # host preprocessing for one study (fastvideo fused path)
+    # host preprocessing for one study (fastvideo fused path, per wire:
+    # f32 = gather+resize+normalize; u8 = gather+resize to uint8 (stats fold
+    # on-device); patch = ONE fused gather+resize+space-to-depth kernel)
     raw = r.integers(0, 255, size=(60, 512, 512, 3)).astype(np.uint8)
     idx = np.linspace(0, 59, cfg.frames).astype(np.int64)
     mean = np.array([120.0] * 3)
     std = np.array([40.0] * 3)
     if fv.available():
+        from deepcoro_clip_tpu.models.video_encoder import resolve_architecture
+
+        patch = tuple(resolve_architecture(cfg)["vit_patch"])
+        fused_patch = WIRE == "patch" and fv.u8_available()
         t0 = time.perf_counter()
         for _ in range(n_clips):
-            fv.sample_resize_normalize(raw, idx, cfg.resize, cfg.resize, mean, std)
+            if fused_patch:
+                fv.sample_resize_patch(raw, idx, cfg.resize, cfg.resize, patch)
+            elif WIRE == "u8" and fv.u8_available():
+                fv.sample_resize_u8(raw, idx, cfg.resize, cfg.resize)
+            else:
+                fv.sample_resize_normalize(
+                    raw, idx, cfg.resize, cfg.resize, mean, std
+                )
         prep = time.perf_counter() - t0
-        if WIRE == "patch":  # per-study layout change rides the host too
+        if WIRE == "patch" and not fused_patch:  # two-pass fallback
             from deepcoro_clip_tpu.data.patch_wire import patchify_videos
-            from deepcoro_clip_tpu.models.video_encoder import (
-                resolve_architecture,
-            )
 
             clip = r.integers(0, 255, size=shape).astype(np.uint8)
             t0 = time.perf_counter()
-            patchify_videos(clip, tuple(resolve_architecture(cfg)["vit_patch"]))
+            patchify_videos(clip, tuple(patch))
             prep += time.perf_counter() - t0
     else:
         prep = float("nan")
