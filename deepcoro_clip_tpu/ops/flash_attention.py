@@ -41,6 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 from deepcoro_clip_tpu.ops.attention import multi_head_attention
 
 NEG_INF = -1e30
+# exp(x) lowers to exp2(x*log2e) on the VPU — folding log2e into the score
+# scale (exact: the softmax is the same function of s) turns the
+# [*, bq, Lk] sub+mul+exp2 into sub+exp2, one fewer full-score-matrix VPU
+# pass in both kernels. The softmax statistics (max/sum) are computed on
+# the log2-scaled scores, which is self-consistent.
+LOG2E = 1.4426950408889634
+
+
+def softmax_base():
+    """(exp_fn, scale_fold) read at trace time: DEEPCORO_EXP2_SOFTMAX=1
+    selects the exp2 path with log2e folded into the score scale.
+    Env-gated (like DEEPCORO_PACKED_ATTN) so long chunked runs keep one
+    program across process restarts until the flip is deliberate."""
+    if os.environ.get("DEEPCORO_EXP2_SOFTMAX", "0") == "1":
+        return jnp.exp2, LOG2E
+    return jnp.exp, 1.0
 VMEM_BUDGET = 10 * 1024 * 1024  # conservative per-kernel working-set budget
 
 
@@ -67,6 +83,7 @@ def _unrot(g, sin, cos):
 
 def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
     it = iter(refs)
+    _exp, _fold = softmax_base()  # trace-time env read
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     if has_rope:
         qsin_ref, qcos_ref, ksin_ref, kcos_ref = (
@@ -87,7 +104,7 @@ def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # [Hf, bq, Lk]
+    ) * (scale * _fold)  # [Hf, bq, Lk] (softmax_base: exp2 log2-fold)
 
     if has_mask:
         valid = mask_ref[0] != 0.0  # [1, Lk]
@@ -99,7 +116,7 @@ def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
         s = jnp.where(row >= col, s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = _exp(s - m)
     l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
     v = v_ref[0]
@@ -161,6 +178,7 @@ def _fwd_call(q, k, v, extras, *, causal, scale, block_q, has_rope, has_mask,
 
 def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
     it = iter(refs)
+    _exp, _fold = softmax_base()  # trace-time env read
     q_ref, k_ref, v_ref, do_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it),
     )
@@ -196,7 +214,7 @@ def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # [Hf, bq, Lk]
+    ) * (scale * _fold)  # [Hf, bq, Lk] (softmax_base: exp2 log2-fold)
     if has_mask:
         valid = mask_ref[0] != 0.0
         s = jnp.where(valid, s, NEG_INF)
@@ -206,7 +224,7 @@ def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
         s = jnp.where(row >= col, s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = _exp(s - m)
     l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     p = e / l  # matches fwd semantics exactly
 

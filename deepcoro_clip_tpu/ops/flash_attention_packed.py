@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepcoro_clip_tpu.ops.attention import multi_head_attention
 from deepcoro_clip_tpu.ops.flash_attention import (
+    softmax_base,
     NEG_INF,
     VMEM_BUDGET,
     _pad_axis,
@@ -61,6 +62,7 @@ LANE = 128
 
 def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
     it = iter(refs)
+    _exp, _fold = softmax_base()  # trace-time env read
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     if has_rope:
         qsin_ref, qcos_ref, ksin_ref, kcos_ref = (
@@ -93,7 +95,7 @@ def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [bq, Lk]
+        ) * (scale * _fold)  # [bq, Lk] (softmax_base: exp2 log2-fold)
 
         if has_mask:
             s = jnp.where(valid, s, NEG_INF)
@@ -103,7 +105,7 @@ def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
             s = jnp.where(row >= col, s, NEG_INF)
 
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = _exp(s - m)
         l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
         o = jax.lax.dot_general(
@@ -121,6 +123,7 @@ def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
 
 def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
     it = iter(refs)
+    _exp, _fold = softmax_base()  # trace-time env read
     q_ref, k_ref, v_ref, do_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it),
     )
@@ -171,7 +174,7 @@ def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [bq, Lk]
+        ) * (scale * _fold)  # [bq, Lk] (softmax_base: exp2 log2-fold)
         if has_mask:
             s = jnp.where(valid, s, NEG_INF)
         if causal:
@@ -180,7 +183,7 @@ def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
             s = jnp.where(row >= col, s, NEG_INF)
 
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = _exp(s - m)
         l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         p = e / l  # matches fwd semantics exactly
 

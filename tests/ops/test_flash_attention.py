@@ -114,3 +114,37 @@ def test_flash_pallas_backward_variants(case):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_exp2_softmax_path_matches_oracle(monkeypatch):
+    """DEEPCORO_EXP2_SOFTMAX=1 folds log2e into the score scale and uses
+    native exp2 — mathematically the same softmax (flash_attention.py::
+    softmax_base); values and grads must agree with the oracle, with RoPE
+    and a key-padding mask engaged."""
+    monkeypatch.setenv("DEEPCORO_EXP2_SOFTMAX", "1")
+    T, H, W = 2, 2, 4
+    L = T * H * W
+    t = build_rope3d_tables(head_dim=32, T=T, H=H, W=W)
+    sin, cos = jnp.asarray(t.sin), jnp.asarray(t.cos)
+    q, k, v = (_rand((2, 2, L, 32), s) for s in range(3))
+    mask = jnp.asarray(np.array([[1] * L, [1] * (L - 5) + [0] * 5]))
+
+    ref = multi_head_attention(q, k, v, sin=sin, cos=cos, kv_mask=mask)
+    got = flash_attention(q, k, v, sin=sin, cos=cos, kv_mask=mask,
+                          backend="interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, sin=sin, cos=cos,
+                                       kv_mask=mask, backend="interpret") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(multi_head_attention(q, k, v, sin=sin, cos=cos,
+                                            kv_mask=mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

@@ -233,3 +233,27 @@ def test_attention_module_packed_wiring(monkeypatch):
     o2 = ca.apply({"params": p2}, x, context=ctx)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_exp2_softmax_path(monkeypatch):
+    """The gated exp2 log2-fold (flash_attention.softmax_base) must leave
+    the packed kernel oracle-exact too, fwd and grads."""
+    monkeypatch.setenv("DEEPCORO_EXP2_SOFTMAX", "1")
+    q, k, v = _mk(128)
+    out = fap.flash_attention_packed(q, k, v, num_heads=H,
+                                     backend="interpret")
+    ref = _oracle(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(f):
+        def inner(q, k, v):
+            return jnp.sum(f(q, k, v) ** 2)
+        return jax.grad(inner, argnums=(0, 1, 2))(q, k, v)
+
+    gf = loss(lambda a, b, c: fap.flash_attention_packed(
+        a, b, c, num_heads=H, backend="interpret"))
+    gr = loss(_oracle)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
