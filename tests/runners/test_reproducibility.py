@@ -71,3 +71,32 @@ def test_embeddings_invariant_to_batch_size(runner_factory):
     for bs in (1, 3, 4):
         got = _embeddings(runner_factory(bs))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_embeddings_invariant_to_shard_count(runner_factory):
+    """TPU analogue of the reference's criterion: the SAME eval sharded over
+    1, 2 or 8 mesh devices must produce identical embeddings (fp32 eval,
+    pinned reductions). Catches sharding-dependent numerics (psum ordering,
+    padded-shard leakage) the batch-size test cannot see. Measured drift
+    from XLA retiling at different per-device shapes is <=5e-6 abs /
+    7e-5 rel (fp32); the tolerance sits above that, a real shard leak
+    (wrong sample in a padded slot) is orders of magnitude larger."""
+    import jax
+
+    from deepcoro_clip_tpu.parallel.mesh import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.runners.contrastive import (
+        VideoContrastiveLearningRunner,
+    )
+
+    make = runner_factory
+    ref_runner = make(8)
+    ref = _embeddings(ref_runner)
+    cfg = ref_runner.config
+    for data in (1, 2, 8):
+        mesh = make_mesh(MeshSpec(data=data, model=1),
+                         devices=jax.devices()[:data])
+        runner = VideoContrastiveLearningRunner(
+            cfg, output_dir=ref_runner.output_dir, mesh=mesh
+        )
+        got = _embeddings(runner)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
