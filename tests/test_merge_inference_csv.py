@@ -1,7 +1,6 @@
 """scripts/merge_inference_csv.py — primary-first union by exam
 (generalizes reference scripts/merge_inference_csv.py)."""
 
-import numpy as np
 import pandas as pd
 
 from scripts.merge_inference_csv import merge_inference_csvs
