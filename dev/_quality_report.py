@@ -166,6 +166,32 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 f"| {same:.3f} |"
             )
         lines.append("")
+        if any("-head text)" in str(s) for s in runs):
+            # A geometry-variant row exists: keep the neutrality read with it
+            # (this paragraph was measured in round 3; regenerating the report
+            # must not silently drop the conclusion).
+            lines += [
+                "**Geometry-neutrality read (6-head row):** the throughput "
+                "geometry",
+                "(6 heads x Dh=128 text tower, same parameter count, the "
+                "flagship bench",
+                "default since round 3) was trained with the "
+                "otherwise-identical recipe.",
+                "R@5 (0.865 vs 0.871) and MedianRank (2.0) match the primary "
+                "run, but",
+                "best R@1 lands 0.035 lower (0.359 vs 0.394) — larger than "
+                "the ~±0.02",
+                "per-epoch jitter, so the head-geometry flip is NOT free on "
+                "this",
+                "synthetic task at R@1. Consequence: the published quality "
+                "recipe stays",
+                "pinned at 12 x Dh=64 (`config/quality/*.yaml`); the 6-head "
+                "geometry is",
+                "the *throughput* configuration and its cost is documented "
+                "here rather",
+                "than hidden.",
+                "",
+            ]
     if tiers:
         lines += [
             "## Difficulty tiers (primary-seed best checkpoint)",

@@ -43,7 +43,17 @@ def _rows(md: str, header_prefix: str) -> list[list[str]]:
     return rows[1:]  # drop header row
 
 
-def _restore_partial_from_variance(seed: int, md: str, art: Path) -> Path:
+def _display_name(seed: int | str) -> str:
+    """Directory seed key -> the label the report writer publishes
+    (mirrors dev/_quality_report.py: '0_h6' -> '0 (6-head text)')."""
+    s = str(seed)
+    if "_h" in s:
+        base, heads = s.split("_h", 1)
+        return f"{base} ({heads}-head text)"
+    return s
+
+
+def _restore_partial_from_variance(seed: int | str, md: str, art: Path) -> Path:
     """Secondary seeds have no per-epoch curve in QUALITY.md — only the
     seed-variance summary row (epochs / best / final R@1,R@5,MedR). Rebuild
     a minimal history carrying exactly what that row published: the final
@@ -51,7 +61,7 @@ def _restore_partial_from_variance(seed: int, md: str, art: Path) -> Path:
     (the epoch count, which drives the fair same-epoch comparison column)
     is preserved."""
     for r in _rows(md, "## Seed variance"):
-        if r[0] != str(seed):
+        if r[0] != _display_name(seed):
             continue
         epochs, best_r1 = int(r[1]), float(r[2])
         final = {
@@ -82,7 +92,7 @@ def _restore_partial_from_variance(seed: int, md: str, art: Path) -> Path:
     )
 
 
-def restore(seed: int = 0, md_path: Path | None = None,
+def restore(seed: int | str = 0, md_path: Path | None = None,
             out_root: Path | None = None) -> Path:
     md = (md_path or REPO / "QUALITY.md").read_text()
     art = (out_root or REPO) / f".quality_run_v2_s{seed}" / "artifacts"
@@ -91,7 +101,7 @@ def restore(seed: int = 0, md_path: Path | None = None,
         print(f"{train_json} already exists — nothing to do")
         return art
 
-    curve_header = f"## Training curve (seed {seed}"
+    curve_header = f"## Training curve (seed {_display_name(seed)}"
     if curve_header not in md:
         return _restore_partial_from_variance(seed, md, art)
 
@@ -161,4 +171,5 @@ def restore(seed: int = 0, md_path: Path | None = None,
 
 
 if __name__ == "__main__":
-    restore(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
+    arg = sys.argv[1] if len(sys.argv) > 1 else "0"
+    restore(int(arg) if arg.isdigit() else arg)
