@@ -44,6 +44,15 @@ EPOCHS = int(os.environ.get("DEEPCORO_QR_EPOCHS", "25"))
 # quality-neutral, not just faster)
 TEXT_HEADS = int(os.environ.get("DEEPCORO_QR_TEXT_HEADS", "12"))
 
+# Pin the quality-recipe PROGRAM regardless of the library's throughput
+# defaults: every published quality seed ran the standard attention kernel
+# (packed=0) with e^x softmax (exp2=0), and chunked runs resumed across
+# sessions MUST keep one compiled program end-to-end. A later session
+# flipping a perf default (as packed-attn was in round 3) would otherwise
+# silently change the program mid-run. Callers can still override.
+os.environ.setdefault("DEEPCORO_PACKED_ATTN", "0")
+os.environ.setdefault("DEEPCORO_EXP2_SOFTMAX", "0")
+
 # v2 run dirs are per-seed; round-2's 10-epoch .quality_run is kept as-is
 RUN_DIR = REPO / (f".quality_run_v2_s{SEED}"
                   + ("" if TEXT_HEADS == 12 else f"_h{TEXT_HEADS}"))
