@@ -190,16 +190,25 @@ def stage_train():
         start = done + 1
         if start >= EPOCHS:
             break
-        r = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()),
-             f"train_chunk:{start}:{min(start + CHUNK, EPOCHS)}"],
-            cwd=str(REPO),
-        )
-        if r.returncode != 0:
+        try:
+            # Bound each chunk: when the axon relay dies, device dispatches
+            # HANG forever rather than erroring (CLAUDE.md) — without a
+            # timeout one dead chunk eats the rest of the session. 2 epochs
+            # ~= 45 min plus a possible first-chunk compile warm.
+            r = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()),
+                 f"train_chunk:{start}:{min(start + CHUNK, EPOCHS)}"],
+                cwd=str(REPO), timeout=5400,
+            )
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc != 0:
             new_done = _last_epoch(_existing_run_dir())
             if new_done <= done:  # no forward progress -> give up
-                raise RuntimeError(f"train chunk failed at epoch {start}")
-            print(f"chunk exited rc={r.returncode}; progressed to "
+                raise RuntimeError(
+                    f"train chunk failed (rc={rc}) at epoch {start}")
+            print(f"chunk exited rc={rc}; progressed to "
                   f"epoch {new_done}, continuing", flush=True)
 
     # rebuild the per-epoch history from the run's metrics.jsonl
