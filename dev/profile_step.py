@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import gzip
 import json
+import os
 import sys
 from collections import defaultdict
 from pathlib import Path
@@ -48,9 +49,18 @@ def capture(batch: int) -> None:
     step_fn = make_train_step(bundle)
 
     r = np.random.default_rng(0)
+    videos = r.integers(0, 255, size=(batch, 1, cfg.frames, cfg.resize,
+                                      cfg.resize, 3)).astype(np.uint8)
+    # profile the same wire bench.py measures: patch-major uint8 by default
+    # (DEEPCORO_PATCH_WIRE=0 opts back into the raw wire's device-side copy)
+    if os.environ.get("DEEPCORO_PATCH_WIRE", "1") == "1":
+        from deepcoro_clip_tpu.data.patch_wire import patchify_videos
+        from deepcoro_clip_tpu.models.video_encoder import resolve_architecture
+
+        videos = patchify_videos(videos, tuple(
+            resolve_architecture(cfg)["vit_patch"]))
     host_batch = {
-        "videos": r.integers(0, 255, size=(batch, 1, cfg.frames, cfg.resize,
-                                           cfg.resize, 3)).astype(np.uint8),
+        "videos": videos,
         "video_mask": np.ones((batch, 1), bool),
         "input_ids": r.integers(0, cfg.text_vocab_size,
                                 size=(batch, 512)).astype(np.int32),
