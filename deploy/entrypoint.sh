@@ -1,7 +1,16 @@
 #!/bin/sh
 # External-validation container entry (reference role: the dockerfile CMD
 # driving scripts/external_validation.py from EXTERNAL_VALIDATION_DATA_PATH).
+# DEEPCORO_MODE=serve starts the online inference server instead
+# (scripts/serve.py: micro-batched per-study retrieval over HTTP).
 set -eu
+
+if [ "${DEEPCORO_MODE:-validate}" = "serve" ]; then
+    exec python scripts/serve.py \
+        ${DEEPCORO_CHECKPOINT:+--checkpoint "${DEEPCORO_CHECKPOINT}"} \
+        ${DEEPCORO_TEXT_BANK:+--text_bank "${DEEPCORO_TEXT_BANK}"} \
+        --host 0.0.0.0 --port "${DEEPCORO_PORT:-8080}" "$@"
+fi
 
 : "${EXTERNAL_VALIDATION_DATA_PATH:?set EXTERNAL_VALIDATION_DATA_PATH to the input CSV}"
 : "${DEEPCORO_BASE_CONFIG:=config/linear_probing/stenosis_config.yaml}"
