@@ -125,6 +125,61 @@ def test_empty_request_is_400(server):
     assert code == 400
 
 
+def test_checkpoint_restore_serves_trained_video_tower(tmp_path):
+    """--checkpoint path: the server must restore the video tower from a
+    CLIP training checkpoint (full TrainState template -> video subtree)
+    and produce that tower's embeddings, not random-init ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepcoro_clip_tpu.flagship import tiny_config
+    from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.registry import register_all
+    from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
+    from deepcoro_clip_tpu.train.clip import build_clip_bundle
+
+    register_all()
+    cfg = tiny_config(multi_video=True, num_videos=2)
+    mesh = make_mesh(MeshSpec(data=1, model=1))
+    _, state = build_clip_bundle(cfg, mesh, jax.random.PRNGKey(7),
+                                 steps_per_epoch=1)
+    ckpt_dir = tmp_path / "checkpoints"
+    CheckpointManager(ckpt_dir).save_latest(state, {"epoch": 0})
+
+    ns = type("A", (), {})()
+    ns.base_config = None
+    ns.checkpoint = str(ckpt_dir)
+    ns.ckpt_name = "checkpoint"
+    ns.text_bank = None
+    ns.demo_bank = 16
+    ns.host = "127.0.0.1"
+    ns.port = 0
+    ns.max_batch = 1
+    ns.batch_window_ms = 1.0
+    ns.num_videos = 2
+    ns.top_k = 3
+    ns.tiny = True
+    httpd, engine = serve.build_server(ns)
+    try:
+        # the engine's params are the checkpoint's video tower, bit-exact
+        saved = state.params["video_encoder"]
+        got_leaves = jax.tree_util.tree_leaves(engine.params)
+        want_leaves = jax.tree_util.tree_leaves(saved)
+        assert len(got_leaves) == len(want_leaves)
+        for g, w in zip(got_leaves, want_leaves):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+        # and it actually serves with them
+        r = np.random.default_rng(1)
+        clip = tmp_path / "c.npy"
+        np.save(clip, r.integers(0, 255, size=(6, 40, 40, 3)).astype(np.uint8))
+        study, mask = engine.load_study([str(clip)])
+        emb, scores, idx = engine.infer_batch(study[None], mask[None])
+        assert np.isfinite(emb).all() and idx.shape == (1, 3)
+    finally:
+        httpd.server_close()
+
+
 def test_padded_batch_matches_unpadded_single(server):
     """The fixed-shape pad must not change a real study's embedding."""
     _, engine, paths = server
