@@ -295,6 +295,19 @@ def make_handler(engine: InferenceEngine, batcher: MicroBatcher):
 
 
 def build_server(args) -> tuple[ThreadingHTTPServer, InferenceEngine]:
+    if getattr(args, "artifact", None):
+        # frozen jax.export program (scripts/export_model.py): no model
+        # classes or config system on this path — RetrievalArtifact
+        # duck-types InferenceEngine for the batcher/handler
+        from deepcoro_clip_tpu.serving import RetrievalArtifact
+
+        engine = RetrievalArtifact(args.artifact)
+        batcher = MicroBatcher(engine, window_ms=args.batch_window_ms)
+        httpd = ThreadingHTTPServer((args.host, args.port),
+                                    make_handler(engine, batcher))
+        httpd.batcher = batcher
+        return httpd, engine
+
     from deepcoro_clip_tpu.registry import register_all
 
     register_all()
@@ -349,6 +362,9 @@ def build_server(args) -> tuple[ThreadingHTTPServer, InferenceEngine]:
 
 def main(argv: Optional[list] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--artifact", default=None,
+                    help="serve a frozen jax.export artifact dir "
+                         "(scripts/export_model.py); overrides model args")
     ap.add_argument("--base_config", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoints dir of a CLIP run")
