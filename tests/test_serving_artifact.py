@@ -172,6 +172,105 @@ def test_export_model_cli_verify(artifact, tmp_path, capsys):
     assert json.loads(last)["ok"] is True
 
 
+@pytest.fixture(scope="module")
+def probe_artifact(tmp_path_factory):
+    """Tiny linear-probing pipeline frozen through the same machinery."""
+    import yaml
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.serving import export_probing_artifact
+
+    cfg_path = tmp_path_factory.mktemp("probe_cfg") / "cfg.yaml"
+    yaml.safe_dump(dict(
+        pipeline_project="DeepCORO_video_linear_probing",
+        run_mode="train", data_filename="unused.csv", output_dir="unused",
+        frames=4, resize=32, multi_video=True, num_videos=NUM_VIDEOS,
+        head_structure={"stenosis": 1, "cto": 1, "vessel": 3},
+        loss_structure={"stenosis": "huber", "cto": "bce_logit",
+                        "vessel": "ce"},
+        head_task={"stenosis": "regression", "cto": "binary",
+                   "vessel": "multiclass"},
+        pooling_mode="attention+cls_token",
+        use_view_embeddings=True, view_column="view_id", num_view_classes=3,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        embedding_dim=16, num_heads=2, aggregator_depth=1,
+        attention_hidden=8, dropout=0.0,
+        precision="fp32", use_pallas_attention=False, use_wandb=False,
+    ), cfg_path.open("w"))
+    cfg = parse_config(["--base_config", str(cfg_path)])
+    out = tmp_path_factory.mktemp("probe_art")
+    meta = export_probing_artifact(cfg, out, max_batch=MAX_BATCH)
+    return cfg, cfg_path, out, meta
+
+
+def test_probing_artifact_matches_inprocess(probe_artifact):
+    from deepcoro_clip_tpu.models.video_encoder import (
+        video_encoder_from_config,
+    )
+    from deepcoro_clip_tpu.serving import ProbingArtifact, _probing_fn
+    from deepcoro_clip_tpu.train.linear_probe import _mil_from_config
+
+    cfg, _, out, meta = probe_artifact
+    assert meta["kind"] == "probing" and meta["has_view_ids"]
+    art = ProbingArtifact(out)
+    studies, mask = _random_studies(meta, MAX_BATCH)
+    vid = np.arange(MAX_BATCH * NUM_VIDEOS, dtype=np.int32).reshape(
+        MAX_BATCH, NUM_VIDEOS) % 3
+    out_a = art.infer_batch(studies, mask, vid)
+    assert sorted(out_a) == ["cto", "stenosis", "vessel"]
+    assert out_a["vessel"].shape == (MAX_BATCH, 3)
+
+    video_model = video_encoder_from_config(cfg, aggregate=False,
+                                            per_video=True)
+    fn = jax.jit(_probing_fn(video_model, _mil_from_config(cfg),
+                             False, True))
+    out_b = fn(art._params, jnp.asarray(studies), jnp.asarray(mask),
+               jnp.asarray(vid))
+    for h in out_a:
+        np.testing.assert_allclose(out_a[h], np.asarray(out_b[h]), atol=1e-5)
+
+
+def test_probing_predict_applies_head_activations(probe_artifact):
+    from deepcoro_clip_tpu.serving import ProbingArtifact
+
+    _, _, out, meta = probe_artifact
+    art = ProbingArtifact(out)
+    studies, mask = _random_studies(meta, 1)
+    logits = art.infer_batch(studies, mask)
+    probs = art.predict(studies, mask)
+    assert np.all((probs["cto"] > 0) & (probs["cto"] < 1))  # sigmoid
+    np.testing.assert_allclose(probs["vessel"].sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(probs["stenosis"], logits["stenosis"])  # identity
+
+
+def test_probing_cli_export_and_verify(probe_artifact, tmp_path, capsys):
+    import export_model
+
+    _, cfg_path, _, _ = probe_artifact
+    out = tmp_path / "probe_cli"
+    export_model.main([
+        "export-probe", "--out", str(out), "--base_config", str(cfg_path),
+        "--max_batch", str(MAX_BATCH),
+    ])
+    export_model.main([
+        "verify", "--artifact", str(out), "--base_config", str(cfg_path),
+    ])
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(last)["ok"] is True
+
+
+def test_kind_guard(artifact, probe_artifact):
+    """Each loader refuses the other kind's directory."""
+    from deepcoro_clip_tpu.serving import ProbingArtifact
+
+    _, retr_dir, _ = artifact
+    _, _, probe_dir, _ = probe_artifact
+    with pytest.raises(ValueError, match="kind"):
+        ProbingArtifact(retr_dir)
+    with pytest.raises(ValueError, match="kind"):
+        RetrievalArtifact(probe_dir)
+
+
 def test_serve_from_artifact(artifact, tmp_path):
     """scripts/serve.py --artifact: the HTTP server runs off the frozen
     program with no model assembly."""
