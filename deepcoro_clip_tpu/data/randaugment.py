@@ -181,6 +181,7 @@ def rand_augment_clip(
     magnitude: int = 9,
     num_ops: int = 2,
     backend: str = "auto",  # auto | native | numpy
+    copy: bool = True,
 ) -> np.ndarray:
     """Apply ``num_ops`` randomly-chosen ops at ``magnitude`` to the whole
     clip [T, H, W, 3] uint8 (same params for every frame).
@@ -188,7 +189,12 @@ def rand_augment_clip(
     ``backend='auto'`` executes ops through the C++ fastvideo library when
     present (the numpy ops here are the parity oracle and the fallback);
     op/sign sampling always happens here, so the two backends consume the
-    same RNG stream and pick identical transforms."""
+    same RNG stream and pick identical transforms.
+
+    ``copy=False`` lets a caller that OWNS ``clip`` (and doesn't need the
+    pre-augment pixels) skip the defensive duplicate in front of the
+    in-place native ops — one full-clip memcpy per sample on the loader's
+    hot path. Results are bit-identical either way."""
     assert clip.dtype == np.uint8, "RandAugment operates on uint8 pixels"
     names = list(OPS)
     use_native = False
@@ -200,7 +206,10 @@ def rand_augment_clip(
             raise RuntimeError("fastvideo native augment unavailable")
     if use_native:
         # the native ops mutate in place; keep the caller's array intact
-        clip = np.ascontiguousarray(clip).copy()
+        # (unless the caller opted out of the copy)
+        clip = np.ascontiguousarray(clip)
+        if copy:
+            clip = clip.copy()
     for _ in range(num_ops):
         op_id = int(rng.integers(len(names)))
         sign = 1.0 if rng.random() < 0.5 else -1.0

@@ -132,14 +132,23 @@ def _resize_frames(frames: np.ndarray, size: int) -> np.ndarray:
 
 def augment_frames(frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """RandAugment(magnitude=9, num_ops=2) on the uint8 clip, matching the
-    reference (utils/video.py:268-275), plus the 50% horizontal flip."""
+    reference (utils/video.py:268-275), plus the 50% horizontal flip.
+
+    The uint8 hot path (quality corpora, the serving wire) skips the
+    clip/round cast — it is an identity on uint8 pixels and was costing two
+    full-clip copies per sample on the 1-core loader host. ``copy=False`` is
+    safe: ``load_video`` owns ``frames`` (fresh fancy-index gather) and the
+    flip's ascontiguousarray materializes a fresh buffer."""
     from deepcoro_clip_tpu.data.randaugment import rand_augment_clip
 
-    u8 = np.clip(frames, 0, 255).astype(np.uint8)
+    if frames.dtype == np.uint8:
+        u8 = frames
+    else:
+        u8 = np.clip(frames, 0, 255).astype(np.uint8)
     if rng.random() < 0.5:
         u8 = u8[:, :, ::-1, :]
     return rand_augment_clip(np.ascontiguousarray(u8), rng,
-                             magnitude=9, num_ops=2)
+                             magnitude=9, num_ops=2, copy=False)
 
 
 def load_video(

@@ -62,6 +62,28 @@ def test_native_does_not_mutate_input():
     np.testing.assert_array_equal(clip, keep)
 
 
+def test_copy_false_bit_identical_and_may_mutate():
+    """copy=False (the loader hot path) returns the same pixels as the
+    default; it only drops the defensive duplicate of the caller's buffer."""
+    clip = _clip(6)
+    a = rand_augment_clip(clip.copy(), np.random.default_rng(3),
+                          backend="native")
+    b = rand_augment_clip(clip.copy(), np.random.default_rng(3),
+                          backend="native", copy=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_augment_frames_uint8_path_matches_cast_path():
+    """The uint8 fast path (no clip/round cast) is bit-identical to feeding
+    the same pixels as float — the cast it skips is an identity on uint8."""
+    from deepcoro_clip_tpu.data.video_io import augment_frames
+
+    clip = _clip(7)
+    a = augment_frames(clip.copy(), np.random.default_rng(9))
+    b = augment_frames(clip.astype(np.float32), np.random.default_rng(9))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_unknown_op_is_noop():
     clip = _clip(1)
     out = fv.augment_op(clip.copy(), 99, 9.0, 1.0)
