@@ -47,6 +47,115 @@ RIGHT_CORONARY = 0
 LEFT_CORONARY = 1
 CONTRAST_YES = 1
 
+# severity words accepted in `<segment>_calcif_binary` columns (reference
+# input spec, scripts/preprocess_dataset_README.md: "none" is negative,
+# any named severity is positive)
+_CALCIF_WORD = {"none": 0, "mild": 1, "moderate": 1, "severe": 1}
+
+# the 18 coronary segments of the documented input template (reference
+# utils/external_validation_constants.py REGRESSION_COLUMNS/BINARY_COLUMNS)
+SEGMENTS = (
+    "prox_rca", "mid_rca", "dist_rca", "pda", "posterolateral",
+    "left_main", "prox_lad", "mid_lad", "dist_lad", "D1", "D2",
+    "prox_lcx", "mid_lcx", "dist_lcx", "om1", "om2", "bx", "lvp",
+)
+
+
+def write_input_template(path) -> None:
+    """Emit the documented input CSV template (reference
+    scripts/preprocess_dataset_template.csv): per-segment stenosis percent,
+    calcification severity word, CTO/thrombus booleans, study-level ids,
+    one row per DICOM."""
+    cols = {"ss_patient_id": ["P001", "P001"],
+            "ss_event_cath_id": ["STUDY001", "STUDY001"]}
+    for seg in SEGMENTS:
+        cols[f"{seg}_stenosis"] = [0, 0]
+    for seg in SEGMENTS:
+        cols[f"{seg}_calcif_binary"] = ["none", "none"]
+    for seg in SEGMENTS:
+        cols[f"{seg}_cto"] = [False, False]
+    for seg in SEGMENTS:
+        cols[f"{seg}_thrombus"] = [False, False]
+    cols["DICOMPath"] = ["/path/to/STUDY001_SERIES001.dcm",
+                         "/path/to/STUDY001_SERIES002.dcm"]
+    pd.DataFrame(cols).to_csv(path, index=False)
+
+
+def parse_stenosis_cell(value):
+    """One stenosis cell -> float percent or NaN.
+
+    Numbers pass through; strings yield the LARGEST number they contain
+    ("50-70%" -> 70.0, "occluded 100" -> 100.0); blank or number-free text
+    is NaN (reference _parse_stenosis_value,
+    scripts/external_validation.py:449-466).
+    """
+    import re
+
+    if value is None or (isinstance(value, float) and np.isnan(value)):
+        return np.nan
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        return float(value)
+    found = re.findall(r"\d+(?:\.\d+)?", str(value))
+    return max(float(x) for x in found) if found else np.nan
+
+
+def prepare_input_columns(df: pd.DataFrame, target_labels=(),
+                          fill_missing_targets: bool = False) -> pd.DataFrame:
+    """Normalize a CSV written to the documented input spec (reference
+    scripts/preprocess_dataset_README.md + preprocess_dataset :536-607):
+
+    - ``<seg>_calcif_binary``: none/mild/moderate/severe -> 0/1 (columns
+      that are already numeric pass through unchanged);
+    - ``<seg>_cto`` / ``<seg>_thrombus``: True/False -> 1/0;
+    - every ``*_stenosis`` column is parsed to float percent and gains a
+      derived ``*_stenosis_binary`` (1 where value > 70);
+    - ``ss_patient_id`` -> ``Patient_ID``; ``ss_event_cath_id`` ->
+      ``StudyInstanceUID`` (only when the latter is absent);
+    - validation-capable runs (``fill_missing_targets``): requested target
+      columns are created / NaN-filled with 0.0 (blank cells mean
+      negative/normal, per the reference's stated assumption);
+    - all-empty columns are dropped, except protected targets.
+    """
+    df = df.copy()
+
+    for col in df.columns:
+        if col.endswith("_calcif_binary"):
+            cells = df[col].dropna()
+            if len(cells) and cells.map(lambda v: isinstance(v, str)).any():
+                df[col] = df[col].map(_CALCIF_WORD)
+            else:
+                df[col] = pd.to_numeric(df[col], errors="coerce")
+        elif col.endswith("_cto") or col.endswith("_thrombus"):
+            df[col] = df[col].map({False: 0, True: 1})
+
+    for col in [c for c in df.columns if c.endswith("_stenosis")]:
+        df[col] = df[col].map(parse_stenosis_cell)
+        df[f"{col}_binary"] = (df[col] > 70).astype(int)
+
+    renames = {}
+    if "ss_patient_id" in df.columns:
+        renames["ss_patient_id"] = "Patient_ID"
+    if "ss_event_cath_id" in df.columns and "StudyInstanceUID" not in df.columns:
+        renames["ss_event_cath_id"] = "StudyInstanceUID"
+    df = df.rename(columns=renames)
+
+    protected = set()
+    if fill_missing_targets and target_labels:
+        protected = set(target_labels)
+        for label in target_labels:
+            if label not in df.columns:
+                df[label] = 0.0
+            else:
+                df[label] = df[label].fillna(0.0)
+
+    empty = [c for c in df.columns
+             if c not in protected and df[c].count() == 0]
+    if empty:
+        print(f"[external_validation] dropping {len(empty)} empty "
+              f"columns: {empty}")
+        df = df.drop(columns=empty)
+    return df
+
 
 def dicom_to_npy(args) -> Optional[str]:
     """Convert one DICOM to a .npy clip (reference process_single_dicom:610).
@@ -183,6 +292,14 @@ def run_filter_model(df: pd.DataFrame, manifest: Path, filter_config: str,
 
 def main():
     ap = argparse.ArgumentParser()
+    if "--write_template" in sys.argv:
+        tp = argparse.ArgumentParser()
+        tp.add_argument("--write_template",
+                        help="emit the documented input CSV template and exit")
+        path = tp.parse_known_args()[0].write_template
+        write_input_template(path)
+        print(f"[external_validation] wrote input template to {path}")
+        return
     ap.add_argument("--input_csv", required=True,
                     help="CSV with DICOMPath or FileName column")
     ap.add_argument("--base_config", required=True)
@@ -197,11 +314,29 @@ def main():
                          "(the VasoVision role)")
     ap.add_argument("--filter_checkpoint", default=None)
     ap.add_argument("--skip_reference_filter", action="store_true")
+    ap.add_argument("--fill_missing_targets", action="store_true",
+                    help="validation-capable runs: create/zero-fill the "
+                         "config's target columns (reference env "
+                         "DEEPCORO_RUN_MODE=val|auto)")
     args, rest = ap.parse_known_args()
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     df = pd.read_csv(args.input_csv)
+
+    # ---- stage 0: documented input spec -> framework columns ----
+    fill = args.fill_missing_targets or (
+        os.environ.get("DEEPCORO_RUN_MODE", "").strip().lower()
+        in ("val", "auto")
+    )
+    targets = ()
+    if fill:
+        import yaml
+
+        with open(args.base_config) as f:
+            targets = tuple(yaml.safe_load(f).get("target_label", []) or ())
+    df = prepare_input_columns(df, target_labels=targets,
+                               fill_missing_targets=fill)
 
     # ---- stage 1: multiprocess DICOM -> clip conversion ----
     if "DICOMPath" in df.columns:

@@ -13,11 +13,31 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 
 from external_validation import (  # noqa: E402
+    SEGMENTS,
     apply_reference_filter,
     assign_procedure_status,
     convert_dicoms,
     dicom_to_npy,
+    prepare_input_columns,
+    write_input_template,
 )
+
+
+def test_input_template_roundtrips_through_preprocessing(tmp_path):
+    """The emitted template (reference preprocess_dataset_template.csv) is
+    a valid input: every spec column parses, ids are renamed, and each
+    stenosis column gains its >70 binary."""
+    p = tmp_path / "template.csv"
+    write_input_template(p)
+    df = pd.read_csv(p)
+    assert len(df.columns) == 4 * len(SEGMENTS) + 3
+    out = prepare_input_columns(df)
+    assert {"Patient_ID", "StudyInstanceUID", "DICOMPath"} <= set(out.columns)
+    for seg in SEGMENTS:
+        assert out[f"{seg}_stenosis_binary"].tolist() == [0, 0]
+        assert out[f"{seg}_calcif_binary"].tolist() == [0, 0]
+        assert out[f"{seg}_cto"].tolist() == [0, 0]
+        assert out[f"{seg}_thrombus"].tolist() == [0, 0]
 
 
 def test_assign_procedure_status_pci_timeline():
