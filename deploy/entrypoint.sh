@@ -6,7 +6,10 @@
 set -eu
 
 if [ "${DEEPCORO_MODE:-validate}" = "serve" ]; then
+    # DEEPCORO_ARTIFACT: serve a frozen jax.export program directory
+    # (scripts/export_model.py) instead of rebuilding the model stack
     exec python scripts/serve.py \
+        ${DEEPCORO_ARTIFACT:+--artifact "${DEEPCORO_ARTIFACT}"} \
         ${DEEPCORO_CHECKPOINT:+--checkpoint "${DEEPCORO_CHECKPOINT}"} \
         ${DEEPCORO_TEXT_BANK:+--text_bank "${DEEPCORO_TEXT_BANK}"} \
         --host 0.0.0.0 --port "${DEEPCORO_PORT:-8080}" "$@"
