@@ -210,6 +210,27 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 f"| {m.get('MedianRank', float('nan')):.1f} |"
             )
         lines.append("")
+        # cross-seed tier stability: any non-primary seed with its own
+        # tiers.json gets labeled rows in the same table shape
+        extra = {s: r["tiers"] for s, r in runs.items()
+                 if s != primary and r["tiers"]}
+        if extra:
+            lines += [
+                "Tier metrics across seeds (same tier corpora, that seed's",
+                "best checkpoint):", "",
+                "| seed | tier | R@1 | R@5 | R@10 | MedianRank |",
+                "|---|---|---|---|---|---|",
+            ]
+            for s in sorted(extra):
+                for tier, m in extra[s].items():
+                    lines.append(
+                        f"| {s} | {tier} "
+                        f"| {m.get('Recall@1', float('nan')):.3f} "
+                        f"| {m.get('Recall@5', float('nan')):.3f} "
+                        f"| {m.get('Recall@10', float('nan')):.3f} "
+                        f"| {m.get('MedianRank', float('nan')):.1f} |"
+                    )
+            lines.append("")
     if scaling:
         lines += [
             "## lr x recipe scaling probes (300 steps, fixed real batches)",
