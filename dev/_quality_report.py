@@ -145,27 +145,64 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
             "## Seed variance (same corpus, independent init + data order)",
             "",
             "A seed with fewer epochs is a PARTIAL run (chunked training cut",
-            "at the round's time budget); the last column compares it against",
-            "the primary seed AT THE SAME EPOCH, which is the fair read.",
+            "at the round's time budget); a seed with MORE epochs is the",
+            "extended-horizon run (see below). The last column compares the",
+            "seed against the primary at the LAST COMMON epoch, which is the",
+            "fair read either way.",
             "",
             "| seed | epochs | best R@1 | final R@1 | final R@5 "
-            "| final MedR | primary R@1 @ same epoch |",
+            "| final MedR | R@1 @ last common epoch (seed / primary) |",
             "|---|---|---|---|---|---|---|",
         ]
         for seed in sorted(runs):
             h = runs[seed]["train"]["history"]
             best_r1 = max((x.get("val_Recall@1", 0.0) for x in h), default=0.0)
             last = h[-1] if h else {}
-            same = (hist[len(h) - 1].get("val_Recall@1", float("nan"))
-                    if 0 < len(h) <= len(hist) else float("nan"))
+            if h:
+                common = min(len(h), len(hist)) - 1
+                pair = (f"{h[common].get('val_Recall@1', float('nan')):.3f} "
+                        f"/ {hist[common].get('val_Recall@1', float('nan')):.3f}"
+                        f" (e{common})")
+            else:
+                pair = "n/a"
             lines.append(
                 f"| {seed} | {len(h)} | {best_r1:.3f} "
                 f"| {last.get('val_Recall@1', float('nan')):.3f} "
                 f"| {last.get('val_Recall@5', float('nan')):.3f} "
                 f"| {last.get('val_MedianRank', float('nan')):.1f} "
-                f"| {same:.3f} |"
+                f"| {pair} |"
             )
         lines.append("")
+        # Extended-horizon convergence: a non-primary seed trained past the
+        # primary's schedule answers "where does R@1 plateau?" (VERDICT r2
+        # #4) without retraining the primary (its checkpoints predate a VM
+        # reset; only artifacts survive).
+        longest = max(runs, key=lambda s: len(runs[s]["train"]["history"]))
+        lh = runs[longest]["train"]["history"]
+        if longest != primary and len(lh) > len(hist) and len(lh) >= 30:
+            lv = [x.get("val_Recall@1") or 0.0 for x in lh]
+            best = max(lv)
+            reach = next(i for i, v in enumerate(lv) if v >= 0.95 * best)
+            tail = lv[-5:]
+            slope = (tail[-1] - tail[0]) / 4
+            trend = ("flat" if abs(slope) < 0.005
+                     else ("still rising" if slope > 0 else "declining"))
+            lines += [
+                f"## Extended-horizon convergence (seed {longest}, "
+                f"{len(lh)} epochs)",
+                "",
+                f"Seed {longest} resumed from its epoch-24 checkpoint with "
+                "the cosine",
+                f"schedule re-stretched to {len(lh)} epochs (lr warm-restarts "
+                "at ~0.21x",
+                "peak and re-decays to zero — a documented continuation, not",
+                "the original single-cosine protocol).",
+                f"Best R@1 {best:.3f} (first reaches 95% of best at epoch "
+                f"{reach}); mean",
+                f"per-epoch change over the last 5 epochs {slope:+.4f} "
+                f"({trend}).",
+                "",
+            ]
         if any("-head text)" in str(s) for s in runs):
             # A geometry-variant row exists: keep the neutrality read with it
             # (this paragraph was measured in round 3; regenerating the report
