@@ -134,11 +134,13 @@ def augment_frames(frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """RandAugment(magnitude=9, num_ops=2) on the uint8 clip, matching the
     reference (utils/video.py:268-275), plus the 50% horizontal flip.
 
-    The uint8 hot path (quality corpora, the serving wire) skips the
-    clip/round cast — it is an identity on uint8 pixels and was costing two
-    full-clip copies per sample on the 1-core loader host. ``copy=False`` is
-    safe: ``load_video`` owns ``frames`` (fresh fancy-index gather) and the
-    flip's ascontiguousarray materializes a fresh buffer."""
+    CONSUMES ``frames`` on the uint8 path: the native ops run in place, so
+    the caller's buffer may hold augmented pixels afterwards. The uint8 hot
+    path (quality corpora, the serving wire) skips the clip/round cast — it
+    is an identity on uint8 pixels and was costing two full-clip copies per
+    sample on the 1-core loader host. ``copy=False`` is safe here:
+    ``load_video`` owns ``frames`` (fresh fancy-index gather) and the flip's
+    ascontiguousarray materializes a fresh buffer."""
     from deepcoro_clip_tpu.data.randaugment import rand_augment_clip
 
     if frames.dtype == np.uint8:

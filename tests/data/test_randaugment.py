@@ -59,6 +59,9 @@ def test_augment_frames_uses_randaugment():
 
     r = np.random.default_rng(0)
     clip = r.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+    # augment_frames CONSUMES its input on the uint8 hot path (in-place
+    # native ops, no defensive copy) — snapshot before calling.
+    before = clip.copy()
     out = augment_frames(clip, np.random.default_rng(1))
-    assert out.dtype == np.uint8 and out.shape == clip.shape
-    assert not np.array_equal(out, clip)  # something happened
+    assert out.dtype == np.uint8 and out.shape == before.shape
+    assert not np.array_equal(out, before)  # something happened
