@@ -22,10 +22,14 @@ class AttentionPool(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = True
+    # reference contract (models/attention_pool.py:41-59): LayerNorm after
+    # the pooled attention output, then an optional projection when the
+    # requested output dim differs from the token dim (else identity).
+    output_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic=True):
-        """x: [B, L, D]; mask: [B, L] (True = keep) -> [B, D]."""
+        """x: [B, L, D]; mask: [B, L] (True = keep) -> [B, output_dim or D]."""
         B = x.shape[0]
         query = self.param(
             "query", nn.initializers.normal(0.02), (1, 1, self.dim), jnp.float32
@@ -34,8 +38,13 @@ class AttentionPool(nn.Module):
         out = Attention(
             self.dim, self.num_heads, self.dropout, self.dtype, self.use_flash,
             name="attn",
-        )(q, context=x, kv_mask=mask, deterministic=deterministic)
-        return out[:, 0, :]
+        )(q, context=x, kv_mask=mask, deterministic=deterministic)[:, 0, :]
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(out).astype(
+            self.dtype
+        )
+        if self.output_dim is not None and self.output_dim != self.dim:
+            out = dense(self.output_dim, dtype=self.dtype, name="out_proj")(out)
+        return out
 
 
 class AttentionPoolWithCLS(nn.Module):
@@ -45,10 +54,11 @@ class AttentionPoolWithCLS(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = True
+    output_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic=True):
-        """x: [B, L, D] -> [B, D] (output at the prepended CLS position)."""
+        """x: [B, L, D] -> [B, output_dim or D] (prepended CLS position)."""
         B, L, D = x.shape
         cls = self.param(
             "cls", nn.initializers.normal(0.02), (1, 1, self.dim), jnp.float32
@@ -65,6 +75,9 @@ class AttentionPoolWithCLS(nn.Module):
                 self.dim, self.num_heads, dropout=self.dropout, dtype=self.dtype,
                 use_flash=self.use_flash, name=f"block{i}",
             )(x, kv_mask=mask, deterministic=deterministic)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x[:, 0, :]).astype(
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x[:, 0, :]).astype(
             x.dtype
         )
+        if self.output_dim is not None and self.output_dim != self.dim:
+            out = dense(self.output_dim, dtype=self.dtype, name="out_proj")(out)
+        return out
