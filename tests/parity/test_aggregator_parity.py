@@ -51,37 +51,13 @@ def _torch_aggregator(reference):
 
 
 def _transplant(tm) -> dict:
-    """Torch state_dict -> flax param tree for EnhancedVideoAggregator."""
-    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    """Torch state_dict -> flax param tree (the shipped converter mapping,
+    utils/torch_import.py — this test is its measured oracle)."""
+    from deepcoro_clip_tpu.utils.torch_import import (
+        aggregator_to_flax, numpy_state_dict,
+    )
 
-    def ln(prefix):
-        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
-
-    params = {
-        "pos_embedding": sd["pos_encoding"],
-        "norm": ln("final_ln"),
-        # cancel this repo's 1/sqrt(D) score scale (exact reparameterization)
-        "query": sd["attn_query"][0, 0] * np.sqrt(float(D)),
-    }
-    for i in range(DEPTH):
-        p = f"blocks.{i}"
-        params[f"block{i}"] = {
-            "norm1": ln(f"{p}.norm1"),
-            "norm2": ln(f"{p}.norm2"),
-            "attn": {
-                "qkv": {"kernel": sd[f"{p}.attn.in_proj_weight"].T,
-                        "bias": sd[f"{p}.attn.in_proj_bias"]},
-                "proj": {"kernel": sd[f"{p}.attn.out_proj.weight"].T,
-                         "bias": sd[f"{p}.attn.out_proj.bias"]},
-            },
-            "mlp": {
-                "fc1": {"kernel": sd[f"{p}.mlp.0.weight"].T,
-                        "bias": sd[f"{p}.mlp.0.bias"]},
-                "fc2": {"kernel": sd[f"{p}.mlp.3.weight"].T,
-                        "bias": sd[f"{p}.mlp.3.bias"]},
-            },
-        }
-    return params
+    return aggregator_to_flax(numpy_state_dict(tm.state_dict()))
 
 
 @pytest.mark.parametrize("masked", [False, True])

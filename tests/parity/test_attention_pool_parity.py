@@ -45,24 +45,13 @@ def _torch_pool(reference, output_dim=None):
 
 
 def _transplant(tm, output_dim=None) -> dict:
-    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
-    wq, wk, wv = np.split(sd["attn.in_proj_weight"], 3, axis=0)
-    bq, bk, bv = np.split(sd["attn.in_proj_bias"], 3, axis=0)
-    params = {
-        "query": sd["query"],
-        "attn": {
-            "q": {"kernel": wq.T, "bias": bq},
-            "k": {"kernel": wk.T, "bias": bk},
-            "v": {"kernel": wv.T, "bias": bv},
-            "proj": {"kernel": sd["attn.out_proj.weight"].T,
-                     "bias": sd["attn.out_proj.bias"]},
-        },
-        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
-    }
-    if output_dim is not None and output_dim != D:
-        params["out_proj"] = {"kernel": sd["proj.weight"].T,
-                              "bias": sd["proj.bias"]}
-    return params
+    """The shipped converter mapping (utils/torch_import.py) — this test is
+    its measured oracle. ``output_dim`` is inferred from the state dict."""
+    from deepcoro_clip_tpu.utils.torch_import import (
+        attention_pool_to_flax, numpy_state_dict,
+    )
+
+    return attention_pool_to_flax(numpy_state_dict(tm.state_dict()))
 
 
 @pytest.mark.parametrize("masked", [False, True])

@@ -44,23 +44,14 @@ def _reference_mil(reference, pooling_mode, num_view_classes=0):
 
 
 def _transplant(tm, pooling_mode, gated_scope="across") -> dict:
-    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    """The shipped converter mapping (utils/torch_import.py) — this test is
+    its measured oracle. ``pooling_mode`` is inferred from the state dict."""
+    from deepcoro_clip_tpu.utils.torch_import import (
+        mil_to_flax, numpy_state_dict,
+    )
 
-    def lin(prefix):
-        return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
-
-    params: dict = {
-        f"head_{name}": lin(f"heads.{name}") for name in HEADS
-    }
-    if "attention" in pooling_mode:
-        params[f"{gated_scope}_gated"] = {
-            "V": lin("attention_V"),
-            "U": lin("attention_U"),
-            "w": lin("attention_w"),
-        }
-    if "view_embedding.weight" in sd:
-        params["view_embeddings"] = {"embedding": sd["view_embedding.weight"]}
-    return params
+    return mil_to_flax(numpy_state_dict(tm.state_dict()),
+                       gated_scope=gated_scope)
 
 
 def _ours(pooling_mode, separate=True, use_view=False, num_view_classes=0):
