@@ -85,7 +85,14 @@ class CaptioningDecoder(nn.Module):
             "pos_emb", nn.initializers.normal(0.02),
             (self.max_length, self.dim), jnp.float32,
         )
-        x = (tok + pos[None, :L, :]).astype(self.dtype)
+        # embedding LayerNorm + dropout before the layers (reference:
+        # models/captioning_decoder.py:70-71,150-156)
+        x = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(
+            tok + pos[None, :L, :]
+        )
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic).astype(
+            self.dtype
+        )
         memory = dense(self.dim, dtype=self.dtype, name="memory_proj")(
             video_tokens.astype(self.dtype)
         )
@@ -183,6 +190,9 @@ def greedy_generate_kv(
     """
     max_length = max_length or decoder.max_length
     p = _unbox(params["params"] if "params" in params else params)
+    # accept numpy trees (e.g. torch_import transplants): traced token ids
+    # index into the embedding table, which requires a jax array
+    p = jax.tree_util.tree_map(jnp.asarray, p)
     H, D = decoder.num_heads, decoder.dim
     Dh = D // H
     B = video_tokens.shape[0]
@@ -246,8 +256,8 @@ def greedy_generate_kv(
 
     def step(carry, t):
         ids, finished, ck, cv, rng_k = carry
-        tok = emb[ids[:, t]] + pos[t]
-        logits, ck, cv = one_token(tok.astype(jnp.float32), ck, cv, t)
+        tok = _ln(p["embed_norm"], (emb[ids[:, t]] + pos[t]).astype(jnp.float32))
+        logits, ck, cv = one_token(tok, ck, cv, t)
         if temperature > 0.0:
             rng_k, sub = jax.random.split(rng_k)
             nxt = jax.random.categorical(sub, logits / temperature, axis=-1)

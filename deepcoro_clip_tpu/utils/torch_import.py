@@ -40,6 +40,7 @@ __all__ = [
     "attention_pool_to_flax",
     "aggregator_to_flax",
     "mil_to_flax",
+    "captioning_decoder_to_flax",
     "text_encoder_to_flax",
     "video_encoder_partial_to_flax",
     "convert_reference_checkpoint",
@@ -198,6 +199,53 @@ def mil_to_flax(
     return params
 
 
+def captioning_decoder_to_flax(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference ``CaptioningDecoder`` (models/captioning_decoder.py:11-335)
+    -> ``models.captioning_decoder.CaptioningDecoder`` params.
+
+    Two exact reparameterizations: the reference cross-attends to the video
+    features directly (this repo's ``memory_proj`` is set to identity), and
+    its ``lm_head`` has no bias (set to zeros here).
+    """
+    depth = 1 + max(
+        (
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"decoder_layers\.(\d+)\.", k))
+        ),
+        default=-1,
+    )
+    d = sd["token_embeddings.weight"].shape[1]
+    params: Dict[str, Any] = {
+        "token_emb": {"embedding": sd["token_embeddings.weight"]},
+        "pos_emb": sd["position_embeddings.weight"],
+        "embed_norm": layernorm_to_flax(sd, "embedding_layer_norm"),
+        "norm": layernorm_to_flax(sd, "final_layer_norm"),
+        "lm_head": {
+            "kernel": np.ascontiguousarray(sd["lm_head.weight"].T),
+            "bias": np.zeros(sd["lm_head.weight"].shape[0], np.float32),
+        },
+        "memory_proj": {
+            "kernel": np.eye(d, dtype=np.float32),
+            "bias": np.zeros(d, np.float32),
+        },
+    }
+    for i in range(depth):
+        p = f"decoder_layers.{i}"
+        params[f"layer{i}"] = {
+            "norm1": layernorm_to_flax(sd, f"{p}.self_attention_layer_norm"),
+            "self_attn": mha_to_flax(sd, f"{p}.self_attention", fused=True),
+            "norm2": layernorm_to_flax(sd, f"{p}.cross_attention_layer_norm"),
+            "cross_attn": mha_to_flax(sd, f"{p}.cross_attention", fused=False),
+            "norm3": layernorm_to_flax(sd, f"{p}.feed_forward_layer_norm"),
+            "mlp": {
+                "fc1": linear_to_flax(sd, f"{p}.intermediate"),
+                "fc2": linear_to_flax(sd, f"{p}.output"),
+            },
+        }
+    return params
+
+
 def text_encoder_to_flax(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Reference ``TextEncoder`` (bert + Dropout/Linear/GELU/Dropout proj,
     models/text_encoder.py:27-68) -> ``models.text_encoder.TextEncoder``."""
@@ -249,9 +297,9 @@ def convert_reference_checkpoint(
     """Full reference checkpoint dict -> ``(component param trees, report)``.
 
     Handles the component keys the reference runners save: ``text_encoder``,
-    ``video_encoder``, ``linear_probing``, ``captioning_decoder`` (reported
-    unconvertible — decoder layouts differ), plus scalar metadata
-    (epoch / best metrics) passed through in the report.
+    ``video_encoder`` (partial — mVIT skipped), ``linear_probing``,
+    ``captioning_decoder``; scalar metadata (epoch / best metrics) passes
+    through in the report.
     """
     trees: Dict[str, Any] = {}
     report: Dict[str, Any] = {"converted": [], "skipped": {}, "meta": {}}
@@ -277,6 +325,9 @@ def convert_reference_checkpoint(
             )
         elif key == "linear_probing":
             trees[key] = mil_to_flax(sd)
+            report["converted"].append(key)
+        elif key == "captioning_decoder":
+            trees[key] = captioning_decoder_to_flax(sd)
             report["converted"].append(key)
         elif key in ("optimizer", "scheduler", "scaler"):
             report["skipped"][key] = len(sd)  # GPU-runtime state, not weights
