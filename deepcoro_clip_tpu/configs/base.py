@@ -55,6 +55,9 @@ class BaseConfig:
     seed: int = 42
     epochs: int = 10
     num_workers: int = 2
+    # "thread" (C++ decode releases the GIL) or "process" (spawned workers
+    # for many-core hosts where Python-side sample assembly bottlenecks)
+    loader_backend: str = "thread"
     debug: bool = False
     period: int = 1
     # per-backbone-block gradient-norm metrics inside the jitted step

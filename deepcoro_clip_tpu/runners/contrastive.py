@@ -255,7 +255,8 @@ class VideoContrastiveLearningRunner:
                 process_index=cfg.process_index, process_count=cfg.process_count,
             )
         return PrefetchLoader(
-            dataset, sampler, self._collate, num_workers=max(1, cfg.num_workers)
+            dataset, sampler, self._collate, num_workers=max(1, cfg.num_workers),
+            backend=getattr(cfg, "loader_backend", "thread"),
         )
 
     # ------------------------------------------------------------------ #

@@ -136,7 +136,8 @@ class LinearProbingRunner:
         collate = lambda items: collate_mil(
             items, list(cfg.head_structure), patch=wire_patch(cfg))
         return PrefetchLoader(dataset, sampler, collate,
-                              num_workers=max(1, cfg.num_workers))
+                              num_workers=max(1, cfg.num_workers),
+                              backend=getattr(cfg, "loader_backend", "thread"))
 
     # ------------------------------------------------------------------ #
 

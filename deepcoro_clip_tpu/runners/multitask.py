@@ -137,7 +137,8 @@ class MultitaskRunner:
             process_count=cfg.process_count,
         )
         return PrefetchLoader(dataset, sampler, self._collate,
-                              num_workers=max(1, cfg.num_workers))
+                              num_workers=max(1, cfg.num_workers),
+                              backend=getattr(cfg, "loader_backend", "thread"))
 
     # ------------------------------------------------------------------ #
 
