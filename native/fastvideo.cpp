@@ -10,6 +10,9 @@
 
 #include <algorithm>
 #include <array>
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -281,46 +284,232 @@ inline uint8_t clamp_u8(float v) {
   return (uint8_t)std::min(std::max(v, 0.0f), 255.0f);
 }
 
-// Inverse-mapped bilinear affine warp of one frame (center-relative map),
-// matching randaugment._affine: x0 = clip(floor(sx)), wx = clip(sx) - x0.
-// Weights in double — the numpy oracle blends float32 pixels with float64
-// weights, and fractional translates put every pixel near a .5 boundary.
-void warp_frame(const uint8_t* in, uint8_t* out, int H, int W, int C,
-                const double m[6]) {
-  const double cx = (W - 1) * 0.5, cy = (H - 1) * 0.5;
-  for (int yo = 0; yo < H; ++yo) {
-    const double y = yo - cy;
-    for (int xo = 0; xo < W; ++xo) {
-      const double x = xo - cx;
-      const double sx = m[0] * x + m[1] * y + m[2] + cx;
-      const double sy = m[3] * x + m[4] * y + m[5] + cy;
-      int x0 = (int)std::floor(sx);
-      int y0 = (int)std::floor(sy);
-      x0 = std::min(std::max(x0, 0), W - 1);
-      y0 = std::min(std::max(y0, 0), H - 1);
-      const int x1 = std::min(x0 + 1, W - 1);
-      const int y1 = std::min(y0 + 1, H - 1);
-      const double wx = std::min(std::max(sx, 0.0), (double)(W - 1)) - x0;
-      const double wy = std::min(std::max(sy, 0.0), (double)(H - 1)) - y0;
-      const uint8_t* p00 = in + ((size_t)y0 * W + x0) * C;
-      const uint8_t* p01 = in + ((size_t)y0 * W + x1) * C;
-      const uint8_t* p10 = in + ((size_t)y1 * W + x0) * C;
-      const uint8_t* p11 = in + ((size_t)y1 * W + x1) * C;
-      uint8_t* o = out + ((size_t)yo * W + xo) * C;
-      const double w00 = (1 - wx) * (1 - wy), w01 = wx * (1 - wy);
-      const double w10 = (1 - wx) * wy, w11 = wx * wy;
-      for (int c = 0; c < C; ++c) {
-        const double v = (float)p00[c] * w00 + (float)p01[c] * w01 +
-                         (float)p10[c] * w10 + (float)p11[c] * w11;
-        o[c] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
-      }
+// ---------------------------------------------------------------------- //
+// Inverse-mapped bilinear affine warp, matching randaugment._affine:
+//   sx = ((m0*x + m1*y) + m2) + cx          (double, left-to-right)
+//   x0 = clip(floor(sx), 0, W-1); x1 = min(x0+1, W-1)
+//   wx = clip(sx, 0, W-1) - x0              (same for y)
+//   out = ((f00*w00 + f01*w01) + f10*w10) + f11*w11
+// Weights stay in double — the numpy oracle blends float32 pixels with
+// float64 weights, and fractional translates put every pixel near a .5
+// truncation boundary, so every expression below preserves the oracle's
+// evaluation order bit for bit.
+//
+// The sampling tables depend only on (y, x), never on the frame, so they
+// are built once per output ROW and amortized over the clip's T frames
+// (the per-frame work drops from ~20 double ops + clamps + floor per pixel
+// to the taps themselves). The RandAugment op set further specializes:
+//   * shear_x / translate_x: sy == y EXACTLY (m3 = ±0*x vanishes, and
+//     (yo - cy) + cy round-trips for integer yo / half-integer cy), so
+//     wy == 0 and the warp is a 1-D row blend; where x0 advances by one
+//     per output pixel the source is unit-stride and the loop vectorizes.
+//   * translate_y: sx == x exactly -> whole-row blend of two input rows
+//     with row-constant weights, unit stride.
+//   * shear_y: sx == x exactly, y0 piecewise-constant along the row ->
+//     runs again give unit-stride two-row blends.
+//   * rotate: general 4-tap with precomputed offsets and weights.
+// The zero-weight taps the specializations drop contribute exactly +0.0
+// in the oracle's sum (f >= 0, w == +0.0), so dropping them is bit-exact.
+// ---------------------------------------------------------------------- //
+
+inline uint8_t trunc_px(double v) {
+  return (uint8_t)std::min(std::max(v, 0.0), 255.0);
+}
+
+// Per-row horizontal-interpolation tables (shear_x / translate_x).
+struct XRow {
+  std::vector<int32_t> x0, x1;
+  std::vector<double> w0e, w1e;              // weights expanded to [W*C]
+  std::vector<std::pair<int, int>> runs;     // maximal unit-stride [lo,hi)
+};
+
+void build_xrow(const double m[6], double cx, double y, int W, int C,
+                XRow& r) {
+  r.x0.resize(W);
+  r.x1.resize(W);
+  r.w0e.resize((size_t)W * C);
+  r.w1e.resize((size_t)W * C);
+  r.runs.clear();
+  for (int xo = 0; xo < W; ++xo) {
+    const double x = xo - cx;
+    const double sx = ((m[0] * x + m[1] * y) + m[2]) + cx;
+    int x0 = (int)std::floor(sx);
+    x0 = std::min(std::max(x0, 0), W - 1);
+    const int x1 = std::min(x0 + 1, W - 1);
+    const double wx = std::min(std::max(sx, 0.0), (double)(W - 1)) - x0;
+    // w00 = (1-wx)*(1-wy) with wy == 0: multiply by 1.0 is exact
+    const double w0 = (1.0 - wx) * (1.0 - 0.0);
+    const double w1 = wx * (1.0 - 0.0);
+    r.x0[xo] = x0;
+    r.x1[xo] = x1;
+    for (int c = 0; c < C; ++c) {
+      r.w0e[(size_t)xo * C + c] = w0;
+      r.w1e[(size_t)xo * C + c] = w1;
     }
   }
+  int lo = -1;
+  for (int xo = 0; xo < W; ++xo) {
+    const bool stride1 =
+        r.x1[xo] == r.x0[xo] + 1 &&
+        (lo < 0 || (xo > lo && r.x0[xo] == r.x0[xo - 1] + 1));
+    if (stride1 && lo < 0) {
+      lo = xo;
+    } else if (!stride1 && lo >= 0) {
+      r.runs.emplace_back(lo, xo);
+      lo = (r.x1[xo] == r.x0[xo] + 1) ? xo : -1;
+    }
+  }
+  if (lo >= 0) r.runs.emplace_back(lo, W);
+}
+
+// One output row from one source row (sy == y exactly for these ops).
+void apply_xrow(const uint8_t* srow, uint8_t* orow, const XRow& r, int W,
+                int C) {
+  int x = 0;
+  for (const auto& run : r.runs) {
+    for (; x < run.first; ++x)  // clamped / non-contiguous columns
+      for (int c = 0; c < C; ++c)
+        orow[x * C + c] =
+            trunc_px((double)srow[(size_t)r.x0[x] * C + c] * r.w0e[x * C] +
+                     (double)srow[(size_t)r.x1[x] * C + c] * r.w1e[x * C]);
+    const uint8_t* s = srow + (size_t)r.x0[run.first] * C;
+    const double* w0 = r.w0e.data() + (size_t)run.first * C;
+    const double* w1 = r.w1e.data() + (size_t)run.first * C;
+    uint8_t* o = orow + (size_t)run.first * C;
+    const int n = (run.second - run.first) * C;
+    for (int j = 0; j < n; ++j)  // unit stride: vectorizes
+      o[j] = trunc_px((double)s[j] * w0[j] + (double)s[j + C] * w1[j]);
+    x = run.second;
+  }
+  for (; x < W; ++x)
+    for (int c = 0; c < C; ++c)
+      orow[x * C + c] =
+          trunc_px((double)srow[(size_t)r.x0[x] * C + c] * r.w0e[x * C] +
+                   (double)srow[(size_t)r.x1[x] * C + c] * r.w1e[x * C]);
+}
+
+// Per-row vertical-interpolation tables (shear_y; sx == x exactly).
+struct YRow {
+  std::vector<int32_t> y0, y1;
+  std::vector<double> w0e, w1e;              // weights expanded to [W*C]
+  std::vector<std::pair<int, int>> runs;     // maximal const-(y0,y1) [lo,hi)
+};
+
+void build_yrow(const double m[6], double cx, double cy, double y, int W,
+                int H, int C, YRow& r) {
+  r.y0.resize(W);
+  r.y1.resize(W);
+  r.w0e.resize((size_t)W * C);
+  r.w1e.resize((size_t)W * C);
+  r.runs.clear();
+  for (int xo = 0; xo < W; ++xo) {
+    const double x = xo - cx;
+    const double sy = ((m[3] * x + m[4] * y) + m[5]) + cy;
+    int y0 = (int)std::floor(sy);
+    y0 = std::min(std::max(y0, 0), H - 1);
+    const int y1 = std::min(y0 + 1, H - 1);
+    const double wy = std::min(std::max(sy, 0.0), (double)(H - 1)) - y0;
+    // w00 = (1-wx)*(1-wy) with wx == 0: (1-0) == 1.0, multiply exact
+    const double w0 = (1.0 - 0.0) * (1.0 - wy);
+    const double w1 = (1.0 - 0.0) * wy;
+    r.y0[xo] = y0;
+    r.y1[xo] = y1;
+    for (int c = 0; c < C; ++c) {
+      r.w0e[(size_t)xo * C + c] = w0;
+      r.w1e[(size_t)xo * C + c] = w1;
+    }
+  }
+  int lo = 0;
+  for (int xo = 1; xo <= W; ++xo) {
+    if (xo == W || r.y0[xo] != r.y0[lo] || r.y1[xo] != r.y1[lo]) {
+      r.runs.emplace_back(lo, xo);
+      lo = xo;
+    }
+  }
+}
+
+void apply_yrow(const uint8_t* fin, uint8_t* orow, const YRow& r, int rowlen,
+                int C) {
+  for (const auto& run : r.runs) {
+    const uint8_t* r0 = fin + (size_t)r.y0[run.first] * rowlen;
+    const uint8_t* r1 = fin + (size_t)r.y1[run.first] * rowlen;
+    const int lo = run.first * C, hi = run.second * C;
+    for (int j = lo; j < hi; ++j)  // unit stride: vectorizes
+      orow[j] = trunc_px((double)r0[j] * r.w0e[j] + (double)r1[j] * r.w1e[j]);
+  }
+}
+
+// General per-row tables (rotate): 4 taps, precomputed offsets + weights.
+struct GRow {
+  std::vector<int32_t> o00, o01, o10, o11;   // pixel-base offsets into frame
+  std::vector<double> w00, w01, w10, w11;
+};
+
+void build_grow(const double m[6], double cx, double cy, double y, int W,
+                int H, int C, GRow& r) {
+  r.o00.resize(W); r.o01.resize(W); r.o10.resize(W); r.o11.resize(W);
+  r.w00.resize(W); r.w01.resize(W); r.w10.resize(W); r.w11.resize(W);
+  for (int xo = 0; xo < W; ++xo) {
+    const double x = xo - cx;
+    const double sx = ((m[0] * x + m[1] * y) + m[2]) + cx;
+    const double sy = ((m[3] * x + m[4] * y) + m[5]) + cy;
+    int x0 = (int)std::floor(sx);
+    int y0 = (int)std::floor(sy);
+    x0 = std::min(std::max(x0, 0), W - 1);
+    y0 = std::min(std::max(y0, 0), H - 1);
+    const int x1 = std::min(x0 + 1, W - 1);
+    const int y1 = std::min(y0 + 1, H - 1);
+    const double wx = std::min(std::max(sx, 0.0), (double)(W - 1)) - x0;
+    const double wy = std::min(std::max(sy, 0.0), (double)(H - 1)) - y0;
+    r.o00[xo] = (int32_t)((y0 * W + x0) * C);
+    r.o01[xo] = (int32_t)((y0 * W + x1) * C);
+    r.o10[xo] = (int32_t)((y1 * W + x0) * C);
+    r.o11[xo] = (int32_t)((y1 * W + x1) * C);
+    r.w00[xo] = (1 - wx) * (1 - wy);
+    r.w01[xo] = wx * (1 - wy);
+    r.w10[xo] = (1 - wx) * wy;
+    r.w11[xo] = wx * wy;
+  }
+}
+
+void apply_grow(const uint8_t* fin, uint8_t* orow, const GRow& r, int W,
+                int C) {
+  for (int x = 0; x < W; ++x)
+    for (int c = 0; c < C; ++c) {
+      const double v = ((double)fin[r.o00[x] + c] * r.w00[x] +
+                        (double)fin[r.o01[x] + c] * r.w01[x]) +
+                       (double)fin[r.o10[x] + c] * r.w10[x] +
+                       (double)fin[r.o11[x] + c] * r.w11[x];
+      orow[x * C + c] = trunc_px(v);
+    }
 }
 
 // blend(a, b, factor) = clip(b + factor * (a - b)) — LUT-able when b const.
 void apply_lut(uint8_t* clip, size_t n, int C, const uint8_t lut[][256],
                int per_channel) {
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+  if (!per_channel) {
+    // 256-entry byte LUT as two permutex2var lookups (each covers 128
+    // table bytes via the index's low 7 bits) blended on the index's top
+    // bit — 64 pixels per iteration instead of a scalar gather.
+    const uint8_t* lt = lut[0];
+    const __m512i t0 = _mm512_loadu_si512(lt);
+    const __m512i t1 = _mm512_loadu_si512(lt + 64);
+    const __m512i t2 = _mm512_loadu_si512(lt + 128);
+    const __m512i t3 = _mm512_loadu_si512(lt + 192);
+    const size_t nbytes = n * (size_t)C;
+    size_t i = 0;
+    for (; i + 64 <= nbytes; i += 64) {
+      const __m512i v = _mm512_loadu_si512(clip + i);
+      const __m512i lo = _mm512_permutex2var_epi8(t0, v, t1);
+      const __m512i hi = _mm512_permutex2var_epi8(t2, v, t3);
+      const __mmask64 m = _mm512_movepi8_mask(v);  // top bit: v >= 128
+      _mm512_storeu_si512(clip + i, _mm512_mask_blend_epi8(m, lo, hi));
+    }
+    for (; i < nbytes; ++i) clip[i] = lt[clip[i]];
+    return;
+  }
+#endif
   for (size_t p = 0; p < n; ++p)
     for (int c = 0; c < C; ++c) {
       uint8_t* v = clip + p * C + c;
@@ -368,10 +557,56 @@ void fv_augment_op(uint8_t* clip, int T, int H, int W, int C, int op,
         m[5] = -((double)H * 0.45 * lvl / 30.0 * sgn);
       }
       std::vector<uint8_t> src(clip, clip + n_px * C);
-      run_threaded(T, [&](int f) {
-        warp_frame(src.data() + (size_t)f * frame_px * C,
-                   clip + (size_t)f * frame_px * C, H, W, C, m);
-      });
+      const double cx = (W - 1) * 0.5, cy = (H - 1) * 0.5;
+      const int rowlen = W * C;
+      const size_t fsz = (size_t)frame_px * C;
+      // Tables depend on the row only — build each once, amortize over T
+      // frames (threaded across rows; see the warp-plan comment above).
+      if (op == AUG_SHEAR_X || op == AUG_TRANSLATE_X) {
+        run_threaded(H, [&](int yo) {
+          thread_local XRow r;
+          build_xrow(m, cx, (double)yo - cy, W, C, r);
+          for (int f = 0; f < T; ++f)
+            apply_xrow(src.data() + (size_t)f * fsz + (size_t)yo * rowlen,
+                       clip + (size_t)f * fsz + (size_t)yo * rowlen, r, W, C);
+        });
+      } else if (op == AUG_TRANSLATE_Y) {
+        // sx == x exactly; sy is row-constant -> whole-row two-row blend
+        run_threaded(H, [&](int yo) {
+          const double y = (double)yo - cy;
+          const double sy = ((m[3] * (0.0 - cx) + m[4] * y) + m[5]) + cy;
+          int y0 = (int)std::floor(sy);
+          y0 = std::min(std::max(y0, 0), H - 1);
+          const int y1 = std::min(y0 + 1, H - 1);
+          const double wy = std::min(std::max(sy, 0.0), (double)(H - 1)) - y0;
+          const double w0 = (1.0 - 0.0) * (1.0 - wy);
+          const double w1 = (1.0 - 0.0) * wy;
+          for (int f = 0; f < T; ++f) {
+            const uint8_t* r0 = src.data() + (size_t)f * fsz + (size_t)y0 * rowlen;
+            const uint8_t* r1 = src.data() + (size_t)f * fsz + (size_t)y1 * rowlen;
+            uint8_t* o = clip + (size_t)f * fsz + (size_t)yo * rowlen;
+            for (int j = 0; j < rowlen; ++j)  // unit stride: vectorizes
+              o[j] = trunc_px((double)r0[j] * w0 + (double)r1[j] * w1);
+          }
+        });
+      } else if (op == AUG_SHEAR_Y) {
+        run_threaded(H, [&](int yo) {
+          thread_local YRow r;
+          build_yrow(m, cx, cy, (double)yo - cy, W, H, C, r);
+          for (int f = 0; f < T; ++f)
+            apply_yrow(src.data() + (size_t)f * fsz,
+                       clip + (size_t)f * fsz + (size_t)yo * rowlen, r,
+                       rowlen, C);
+        });
+      } else {  // AUG_ROTATE: general 4-tap
+        run_threaded(H, [&](int yo) {
+          thread_local GRow r;
+          build_grow(m, cx, cy, (double)yo - cy, W, H, C, r);
+          for (int f = 0; f < T; ++f)
+            apply_grow(src.data() + (size_t)f * fsz,
+                       clip + (size_t)f * fsz + (size_t)yo * rowlen, r, W, C);
+        });
+      }
       return;
     }
 
@@ -385,9 +620,19 @@ void fv_augment_op(uint8_t* clip, int T, int H, int W, int C, int op,
 
     case AUG_CONTRAST: {
       const float factor = 1.0f + 0.9f * frac * sign;
-      double sum = 0.0;
-      for (size_t i = 0; i < n_px * C; ++i) sum += clip[i];
-      const float mean = (float)(int)(sum / (double)(n_px * C));
+      // Integer accumulation in u32 blocks (vectorizes; a double-accumulator
+      // loop does not). Total <= 255 * n < 2^53, so the double conversion is
+      // exact and the mean matches the previous double-sum bit for bit.
+      uint64_t isum = 0;
+      const size_t n = n_px * C;
+      size_t i = 0;
+      for (; i + 4096 <= n; i += 4096) {
+        uint32_t s = 0;
+        for (size_t k = 0; k < 4096; ++k) s += clip[i + k];
+        isum += s;
+      }
+      for (; i < n; ++i) isum += clip[i];
+      const float mean = (float)(int)((double)isum / (double)n);
       uint8_t lut[1][256];
       for (int v = 0; v < 256; ++v)
         lut[0][v] = clamp_u8(mean + factor * (v - mean));
@@ -412,27 +657,41 @@ void fv_augment_op(uint8_t* clip, int T, int H, int W, int C, int op,
     }
 
     case AUG_SHARPNESS: {  // blend with PIL-SMOOTH 3x3 ([1..,5,..1]/13)
+      // Separable integer sliding sums: the 3x3 kernel is (all-ones 3x3)
+      // + 4*center, every partial sum is an integer <= 13*255 = 3315, and
+      // integers below 2^24 are exact in float32 — so the u16 accumulation
+      // is bit-identical to the oracle's float32 sum in any order, and the
+      // unit-stride vertical/horizontal passes vectorize.
       const float factor = 1.0f + 0.9f * frac * sign;
       std::vector<uint8_t> src(clip, clip + n_px * C);
+      const int rowlen = W * C;
       run_threaded(T, [&](int f) {
         const uint8_t* in = src.data() + (size_t)f * frame_px * C;
         uint8_t* out = clip + (size_t)f * frame_px * C;
+        thread_local std::vector<uint16_t> vsum;
+        vsum.resize(rowlen);
+        uint16_t* vs = vsum.data();
         for (int y = 0; y < H; ++y) {
-          const int ym = std::max(y - 1, 0), yp = std::min(y + 1, H - 1);
-          for (int x = 0; x < W; ++x) {
-            const int xm = std::max(x - 1, 0), xp = std::min(x + 1, W - 1);
-            for (int c = 0; c < C; ++c) {
-              const auto at = [&](int yy, int xx) -> float {
-                return in[((size_t)yy * W + xx) * C + c];
-              };
-              const float sm =
-                  (at(ym, xm) + at(ym, x) + at(ym, xp) + at(y, xm) +
-                   5.0f * at(y, x) + at(y, xp) + at(yp, xm) + at(yp, x) +
-                   at(yp, xp)) / 13.0f;
-              const float b = (float)clamp_u8(sm);  // numpy: clip+astype(u8)
-              const float a = at(y, x);
-              out[((size_t)y * W + x) * C + c] = clamp_u8(b + factor * (a - b));
-            }
+          const uint8_t* rm = in + (size_t)std::max(y - 1, 0) * rowlen;
+          const uint8_t* rc = in + (size_t)y * rowlen;
+          const uint8_t* rp = in + (size_t)std::min(y + 1, H - 1) * rowlen;
+          for (int i = 0; i < rowlen; ++i)  // vertical 3-tap (replicate pad)
+            vs[i] = (uint16_t)((uint16_t)rm[i] + rc[i] + rp[i]);
+          uint8_t* orow = out + (size_t)y * rowlen;
+          const auto px = [&](int i, uint16_t total) {
+            const float b = (float)clamp_u8((float)total / 13.0f);
+            orow[i] = clamp_u8(b + factor * ((float)rc[i] - b));
+          };
+          for (int c = 0; c < C; ++c) {  // x == 0 edge: xm == x
+            const int xp = std::min(1, W - 1);
+            px(c, (uint16_t)(vs[c] + vs[c] + vs[xp * C + c] + 4 * rc[c]));
+          }
+          for (int i = C; i < (W - 1) * C; ++i)  // interior: unit stride
+            px(i, (uint16_t)(vs[i - C] + vs[i] + vs[i + C] + 4 * rc[i]));
+          for (int c = 0; c < C; ++c) {  // x == W-1 edge: xp == x
+            const int i = (W - 1) * C + c;
+            const int xm = std::max(W - 2, 0);
+            px(i, (uint16_t)(vs[xm * C + c] + vs[i] + vs[i] + 4 * rc[i]));
           }
         }
       });
@@ -446,10 +705,12 @@ void fv_augment_op(uint8_t* clip, int T, int H, int W, int C, int op,
       return;
     }
 
-    case AUG_SOLARIZE: {
+    case AUG_SOLARIZE: {  // byte->byte map: express as a LUT (VBMI path)
       const uint8_t threshold = (uint8_t)(255 - (int)(255.0f * frac));
-      for (size_t i = 0; i < n_px * C; ++i)
-        if (clip[i] >= threshold) clip[i] = 255 - clip[i];
+      uint8_t lut[1][256];
+      for (int v = 0; v < 256; ++v)
+        lut[0][v] = (uint8_t)(v >= threshold ? 255 - v : v);
+      apply_lut(clip, n_px, C, lut, 0);
       return;
     }
 
