@@ -88,3 +88,36 @@ def test_unknown_op_is_noop():
     clip = _clip(1)
     out = fv.augment_op(clip.copy(), 99, 9.0, 1.0)
     np.testing.assert_array_equal(out, clip)
+
+
+GEOM = ["rotate", "shear_x", "shear_y", "translate_x", "translate_y"]
+
+
+@pytest.mark.parametrize("name", GEOM)
+@pytest.mark.parametrize("level,sign", [(30.0, 1.0), (30.0, -1.0), (0.5, 1.0)])
+def test_warp_extreme_and_tiny_magnitudes(name, level, sign):
+    """Exercise the per-row warp tables at magnitude extremes: level 30
+    translates by 0.45*W (most columns clamped -> short/no unit-stride
+    runs), level 0.5 keeps everything interior (one full-width run)."""
+    clip = _clip(2)
+    op_id = list(OPS).index(name)
+    ref = OPS[name](clip.copy(), level, sign)
+    out = fv.augment_op(clip.copy(), op_id, level, sign)
+    diff = np.abs(ref.astype(np.int16) - out.astype(np.int16))
+    assert diff.max() <= 1, f"{name}@{level}: max diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
+
+
+@pytest.mark.parametrize("name", GEOM + ["sharpness", "color", "contrast"])
+@pytest.mark.parametrize("shape", [(2, 1, 7), (2, 7, 1), (3, 2, 2), (1, 5, 129)])
+def test_warp_degenerate_shapes(name, shape):
+    """W=1 / H=1 / tiny frames: the clamped-edge and run-boundary logic
+    must agree with the oracle (129 > one 64-byte LUT/SIMD block)."""
+    T, H, W = shape
+    r = np.random.default_rng(hash((name, shape)) % 2**32)
+    clip = r.integers(0, 256, size=(T, H, W, 3)).astype(np.uint8)
+    op_id = list(OPS).index(name)
+    ref = OPS[name](clip.copy(), 9.0, -1.0)
+    out = fv.augment_op(clip.copy(), op_id, 9.0, -1.0)
+    diff = np.abs(ref.astype(np.int16) - out.astype(np.int16))
+    assert diff.max() <= 1, f"{name}{shape}: max diff {diff.max()}"
