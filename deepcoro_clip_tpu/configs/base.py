@@ -91,6 +91,12 @@ class BaseConfig:
     # pure MXU matmul — removes XLA's strided uint8 operand copy (~5.5 ms,
     # 5.8% of the flagship step; dev/profile_step.py r3). uint8-wire only.
     patch_wire: bool = False
+    # Grayscale wire (uint8 wire only): ship ONE channel and fold the
+    # replication into the patchify weights on-device (exact for
+    # grayscale-replicated sources — the reference loads DICOM luma to RGB).
+    # 1/3 the H2D bytes and host preprocessing; checkpoints stay 3-channel
+    # and interchangeable with the RGB wire (models/layers._PatchProj).
+    mono_wire: bool = False
 
     # Filled in by set_device_info_in_place (never from YAML)
     is_ref_device: bool = True

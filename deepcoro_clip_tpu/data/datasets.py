@@ -60,6 +60,7 @@ class VideoClipDataset:
         check_files: bool = True,
         extra_columns: Sequence[str] = (),
         wire_dtype: str = "float32",
+        mono_wire: bool = False,
     ):
         self.root = Path(root)
         self.path_col = datapoint_loc_label
@@ -77,6 +78,10 @@ class VideoClipDataset:
         self.training = split == "train"
         # "uint8": raw pixels on the wire, normalized on-device (ops/pixels)
         self.wire_dtype = wire_dtype
+        # grayscale wire: channel 0 only, replication folded on-device
+        # (models/layers._PatchProj); 1/3 the host work and H2D bytes
+        self.mono_wire = mono_wire
+        self.channels = 1 if mono_wire else 3
         self.extra_columns = list(extra_columns)
         self._seed = seed
 
@@ -161,12 +166,13 @@ class VideoClipDataset:
                 rand_augment=self.rand_augment,
                 rng=rng if self.training else None,
                 output_dtype=self.wire_dtype,
+                mono=self.mono_wire,
             )
         except Exception as e:
             # corrupt/missing video -> zero clip (reference :629-635)
             log.warning("failed to load %s: %s", path, e)
-            return np.zeros((self.frames, self.resize, self.resize, 3),
-                            np.dtype(self.wire_dtype))
+            return np.zeros((self.frames, self.resize, self.resize,
+                             self.channels), np.dtype(self.wire_dtype))
 
     def _select_clips(self, sample, rng) -> list[int]:
         """Indices into sample['paths']/'row_indices' for the clips used this
@@ -188,8 +194,8 @@ class VideoClipDataset:
         N = self.num_videos if self.multi_video else 1
         sel = self._select_clips(sample, rng)
         paths = [sample["paths"][j] for j in sel]
-        videos = np.zeros((N, self.frames, self.resize, self.resize, 3),
-                          np.dtype(self.wire_dtype))
+        videos = np.zeros((N, self.frames, self.resize, self.resize,
+                           self.channels), np.dtype(self.wire_dtype))
         mask = np.zeros((N,), bool)
         for j, p in enumerate(paths):
             videos[j] = self._load_one(p, rng)
@@ -266,9 +272,12 @@ class StatsDataset:
         self.indices = np.linspace(0, len(dataset) - 1, n).astype(int) if n else []
 
     def compute(self) -> tuple[np.ndarray, np.ndarray]:
-        """Returns per-channel (mean, std) over raw (unnormalized) pixels."""
-        s = np.zeros(3, np.float64)
-        ss = np.zeros(3, np.float64)
+        """Returns per-channel (mean, std) over raw (unnormalized) pixels
+        (one channel on the mono wire — channel-uniform by that wire's
+        grayscale contract; consumers broadcast, see models/layers)."""
+        C = getattr(self.dataset, "channels", 3)
+        s = np.zeros(C, np.float64)
+        ss = np.zeros(C, np.float64)
         count = 0
         saved_mean, saved_std = self.dataset.mean, self.dataset.std
         saved_aug = self.dataset.rand_augment
@@ -278,7 +287,7 @@ class StatsDataset:
             for i in self.indices:
                 item = self.dataset[int(i)]
                 v = item["videos"][item["video_mask"]]
-                flat = v.reshape(-1, 3).astype(np.float64)
+                flat = v.reshape(-1, C).astype(np.float64)
                 s += flat.sum(axis=0)
                 ss += (flat**2).sum(axis=0)
                 count += flat.shape[0]

@@ -164,8 +164,10 @@ def load_video(
     rng: Optional[np.random.Generator] = None,
     normalize: bool = True,
     output_dtype: str = "float32",
+    mono: bool = False,
 ) -> np.ndarray:
-    """Returns [n_frames, resize, resize, 3] (reference contract).
+    """Returns [n_frames, resize, resize, 3] (reference contract), or
+    [..., 1] with ``mono=True``.
 
     ``output_dtype="float32"`` (default): host-normalized float frames, the
     reference behavior.  ``output_dtype="uint8"``: raw [0, 255] pixels for the
@@ -173,8 +175,19 @@ def load_video(
     transfer carries 1/4 the bytes.  uint8 output assumes pixel-valued
     sources; float sources are clipped to [0, 255] (use float32 wire for
     pre-scaled data).
+
+    ``mono=True`` (config.mono_wire): keep channel 0 only — the grayscale
+    H2D wire. The slice happens BEFORE resize/augment, so the whole host
+    pipeline (and the H2D transfer) runs on a third of the bytes; the
+    device folds the channel replication into the patchify weights
+    (models/layers._PatchProj). Lossless for grayscale-replicated sources
+    (the reference's DICOM luma -> RGB, utils/video.py:247-288; for
+    channel-uniform clips every RandAugment op commutes with the slice —
+    color degenerates to identity, per-channel LUTs coincide).
     """
     raw = _load_raw(path)
+    if mono and raw.ndim == 4 and raw.shape[-1] > 1:
+        raw = np.ascontiguousarray(raw[..., :1])
     idx = sample_frame_indices(raw.shape[0], n_frames, stride, rng)
     if (
         output_dtype == "uint8"
@@ -200,5 +213,7 @@ def load_video(
     if normalize:
         m = np.asarray(mean if mean is not None else [0.0] * 3, np.float32)
         s = np.asarray(std if std is not None else [1.0] * 3, np.float32)
+        if m.shape[0] > frames.shape[-1]:  # mono: channel-uniform stats
+            m, s = m[: frames.shape[-1]], s[: frames.shape[-1]]
         frames = (frames - m) / np.maximum(s, 1e-6)
     return np.ascontiguousarray(frames, dtype=np.float32)

@@ -253,7 +253,18 @@ class _PatchProj(nn.Module):
     ((x-m)/s)@W + b == x@(W/s) + (b - sum((m/s)·W)). The fold is exact in
     fp32 and costs one tiny [K,dim] elementwise + reduction per step (fused
     by XLA), so the batch never materializes as normalized f32 in HBM
-    (profiled 3.0 ms/step of convert+write at flagship B=16 otherwise)."""
+    (profiled 3.0 ms/step of convert+write at flagship B=16 otherwise).
+
+    Grayscale wire (config.mono_wire): when the input carries ONE channel
+    against a C-channel parameter tree, the input is a luma plane whose
+    channel replication is folded too: with x_c == x for all c,
+    sum_c ((x-m_c)/s_c)·W_c == x·sum_c(W_c/s_c) - sum_c((m_c/s_c)·W_c),
+    i.e. the stats-folded kernel summed over its channel axis. Checkpoints
+    stay 3-channel and bit-compatible with the RGB wire; the wire ships
+    (and the host preprocesses) a third of the bytes. The reference loads
+    grayscale DICOM luma replicated to RGB (utils/video.py:247-288), so
+    for angiography sources this is lossless. Raw-integer wire only: a
+    host-normalized float mono plane cannot represent per-channel stats."""
 
     dim: int
     patch: Tuple[int, int, int]
@@ -276,8 +287,16 @@ class _PatchProj(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.dim,),
                           jnp.float32)
+        Cin = (patches.shape[-1] if patches.ndim != 3
+               else patches.shape[-1] // (pt * ph * pw))
+        # mono: 1-channel input against a C-channel tree. On a float wire
+        # this assumes channel-uniform normalization — true by construction
+        # for grayscale-replicated sources, the wire's documented contract.
+        mono = Cin == 1 and self.in_channels > 1
         b = bias
         w = kernel
+        if mono and not fold_stats:
+            w = kernel.sum(axis=3, keepdims=True)
         if fold_stats:
             C = self.in_channels
             m = jnp.asarray(
@@ -288,15 +307,21 @@ class _PatchProj(nn.Module):
                 self.pixel_std if self.pixel_std is not None else (1.0,) * C,
                 jnp.float32,
             ), 1e-6)
+            if m.shape[0] != C:  # mono-computed stats against C-channel tree
+                m = jnp.broadcast_to(m, (C,))
+            if s.shape[0] != C:
+                s = jnp.broadcast_to(s, (C,))
             # fold (x-m)/s into kernel/bias along the channel axis
             b = bias - jnp.einsum("c,thwcd->d", m / s, kernel)
             w = kernel / s[None, None, None, :, None]
+            if mono:  # fold channel replication: x_c == x for all c
+                w = w.sum(axis=3, keepdims=True)
         if patches.ndim == 3:
             # host patch-major wire: the layout change already happened on
             # the CPU (contiguous memcpy runs), so the device does ONE clean
             # [B, L, K] @ [K, dim] MXU dot — no strided uint8 operand copy
             # (profiled at 22.6 GiB/s / ~5.5 ms/step on the device path).
-            wk = w.reshape(pt * ph * pw * self.in_channels, self.dim)
+            wk = w.reshape(pt * ph * pw * w.shape[3], self.dim)
             y = jax.lax.dot_general(
                 patches.astype(self.dtype), wk.astype(self.dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -344,6 +369,9 @@ class PatchEmbed3D(nn.Module):
     # ([B, L, K] uint8 from data/patch_wire.py) — the grid can't be inferred
     # from L alone and RoPE tables need it at trace time
     patch_grid: Optional[Tuple[int, int, int]] = None
+    # PARAMETER channel count (kernel [pt,ph,pw,C,dim]); a 1-channel input
+    # against in_channels > 1 is the grayscale wire (see _PatchProj)
+    in_channels: int = 3
 
     @nn.compact
     def __call__(self, x):
@@ -359,9 +387,8 @@ class PatchEmbed3D(nn.Module):
                 f"patch-wire token count {x.shape[1]} != grid {self.patch_grid}"
             )
             is_raw = jnp.issubdtype(x.dtype, jnp.integer)
-            C = x.shape[-1] // (pt * ph * pw)
             y = _PatchProj(
-                self.dim, (pt, ph, pw), C, self.dtype,
+                self.dim, (pt, ph, pw), self.in_channels, self.dtype,
                 pixel_mean=self.pixel_mean, pixel_std=self.pixel_std,
                 name="conv",
             )(x, fold_stats=bool(is_raw))
@@ -375,7 +402,16 @@ class PatchEmbed3D(nn.Module):
                 # wire (raw-zero padding would normalize to -mean/std)
                 m = jnp.asarray(self.pixel_mean, jnp.float32)
                 s = jnp.maximum(jnp.asarray(self.pixel_std, jnp.float32), 1e-6)
-                x = (x.astype(jnp.float32) - m) / s
+                if C == 1 and m.shape[0] > 1:
+                    # mono wire + non-divisible shapes: normalize with the
+                    # (channel-uniform by construction) mono stats, then
+                    # materialize the replication — correctness over wire
+                    # savings on this unreachable-at-flagship corner
+                    x = (x.astype(jnp.float32) - m[:1]) / s[:1]
+                    x = jnp.repeat(x, self.in_channels, axis=-1)
+                    C = self.in_channels
+                else:
+                    x = (x.astype(jnp.float32) - m) / s
                 is_raw = False
             x = jnp.pad(x, ((0, 0), (0, -T % pt), (0, -H % ph),
                             (0, -W % pw), (0, 0)))
@@ -383,7 +419,7 @@ class PatchEmbed3D(nn.Module):
         Tn, Hn, Wn = T // pt, H // ph, W // pw
         p = x.reshape(B, Tn, pt, Hn, ph, Wn, pw, C)
         y = _PatchProj(
-            self.dim, (pt, ph, pw), C, self.dtype,
+            self.dim, (pt, ph, pw), self.in_channels, self.dtype,
             pixel_mean=self.pixel_mean, pixel_std=self.pixel_std,
             name="conv",
         )(p, fold_stats=bool(is_raw))

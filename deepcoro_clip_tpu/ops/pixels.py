@@ -31,6 +31,10 @@ def normalize_videos(
         return videos
     m = jnp.asarray(mean if mean is not None else (0.0, 0.0, 0.0), jnp.float32)
     s = jnp.asarray(std if std is not None else (1.0, 1.0, 1.0), jnp.float32)
+    if m.shape[0] > videos.shape[-1]:
+        # grayscale wire (config.mono_wire): channel-uniform stats by the
+        # wire's contract — any channel's statistics apply to the luma plane
+        m, s = m[: videos.shape[-1]], s[: videos.shape[-1]]
     return (videos.astype(jnp.float32) - m) / jnp.maximum(s, 1e-6)
 
 

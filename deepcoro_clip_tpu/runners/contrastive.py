@@ -141,6 +141,7 @@ class VideoContrastiveLearningRunner:
             resize=cfg.resize,
             seed=cfg.seed,
             wire_dtype=cfg.wire_dtype,
+            mono_wire=getattr(cfg, "mono_wire", False),
         )
         if cfg.siglip_texts_path:
             from deepcoro_clip_tpu.data.siglip import (

@@ -100,6 +100,7 @@ class LinearProbingRunner:
             view_column=cfg.view_column,
             num_view_classes=cfg.num_view_classes,
             wire_dtype=cfg.wire_dtype,
+            mono_wire=getattr(cfg, "mono_wire", False),
         )
         splits = (
             ["train", "val"] if cfg.run_mode == "train" else [cfg.run_mode]

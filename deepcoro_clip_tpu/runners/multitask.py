@@ -87,6 +87,7 @@ class MultitaskRunner:
             shuffle_videos=cfg.shuffle_videos, frames=cfg.frames,
             stride=cfg.stride, resize=cfg.resize, seed=cfg.seed,
             wire_dtype=cfg.wire_dtype,
+            mono_wire=getattr(cfg, "mono_wire", False),
         )
         out = {"train": VideoClipDataset(split="train",
                                          rand_augment=cfg.rand_augment, **common)}
