@@ -25,6 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 #   DEEPCORO_INFER_WIRE=patch  uint8 patch-major (data/patch_wire.py): host
 #                              space-to-depth, device patchify is a pure dot
 WIRE = os.environ.get("DEEPCORO_INFER_WIRE", "patch")
+# DEEPCORO_INFER_MONO=1: grayscale serving wire — the study travels as ONE
+# uint8 channel (angiography sources are DICOM luma; config.mono_wire,
+# models/layers._PatchProj folds the replication into the patchify weights).
+# The native preprocessing kernels are channel-generic, so the host path
+# runs on 1/3 the bytes with no new kernel.
+MONO = os.environ.get("DEEPCORO_INFER_MONO", "0") == "1"
+CHANNELS = 1 if MONO else 3
 
 
 def main():
@@ -44,7 +51,7 @@ def main():
     model = video_encoder_from_config(cfg)
     r = np.random.default_rng(0)
 
-    shape = (1, n_clips, cfg.frames, cfg.resize, cfg.resize, 3)
+    shape = (1, n_clips, cfg.frames, cfg.resize, cfg.resize, CHANNELS)
 
     def make_study() -> np.ndarray:
         if WIRE == "f32":
@@ -98,10 +105,10 @@ def main():
     # host preprocessing for one study (fastvideo fused path, per wire:
     # f32 = gather+resize+normalize; u8 = gather+resize to uint8 (stats fold
     # on-device); patch = ONE fused gather+resize+space-to-depth kernel)
-    raw = r.integers(0, 255, size=(60, 512, 512, 3)).astype(np.uint8)
+    raw = r.integers(0, 255, size=(60, 512, 512, CHANNELS)).astype(np.uint8)
     idx = np.linspace(0, 59, cfg.frames).astype(np.int64)
-    mean = np.array([120.0] * 3)
-    std = np.array([40.0] * 3)
+    mean = np.array([120.0] * CHANNELS)
+    std = np.array([40.0] * CHANNELS)
     if fv.available():
         from deepcoro_clip_tpu.models.video_encoder import resolve_architecture
 
@@ -129,7 +136,8 @@ def main():
         prep = float("nan")
 
     print(f"study = {n_clips} clips x {cfg.frames}f@{cfg.resize}px, "
-          f"bank = {bank_size} texts, wire = {WIRE}")
+          f"bank = {bank_size} texts, wire = {WIRE}"
+          + (" (mono)" if MONO else ""))
     print(f"device inference latency: p50 {np.percentile(lat, 50)*1e3:.1f} ms, "
           f"p95 {np.percentile(lat, 95)*1e3:.1f} ms")
     print(f"host preprocessing ({n_clips} clips): {prep*1e3:.1f} ms")
