@@ -43,6 +43,14 @@ EPOCHS = int(os.environ.get("DEEPCORO_QR_EPOCHS", "25"))
 # (the flagship 6xDh=128 bench geometry; a run here checks the flip is
 # quality-neutral, not just faster)
 TEXT_HEADS = int(os.environ.get("DEEPCORO_QR_TEXT_HEADS", "12"))
+# Grayscale H2D wire (config.mono_wire): the synthetic corpus is grayscale-
+# replicated uint8 (verified channel-identical), so the mono wire is EXACT
+# here and ships 1/3 the H2D bytes through the ~45 MB/s axon relay — the
+# dominant step cost of quality runs in this environment. Default OFF:
+# published seeds ran the RGB wire and chunked runs must keep one program;
+# checkpoints are wire-interchangeable (the param tree is identical), so a
+# mono run's artifacts remain comparable.
+MONO = os.environ.get("DEEPCORO_QR_MONO", "0") == "1"
 
 # Pin the quality-recipe PROGRAM regardless of the library's throughput
 # defaults: every published quality seed ran the standard attention kernel
@@ -55,7 +63,8 @@ os.environ.setdefault("DEEPCORO_EXP2_SOFTMAX", "0")
 
 # v2 run dirs are per-seed; round-2's 10-epoch .quality_run is kept as-is
 RUN_DIR = REPO / (f".quality_run_v2_s{SEED}"
-                  + ("" if TEXT_HEADS == 12 else f"_h{TEXT_HEADS}"))
+                  + ("" if TEXT_HEADS == 12 else f"_h{TEXT_HEADS}")
+                  + ("_mono" if MONO else ""))
 ART = RUN_DIR / "artifacts"
 
 
@@ -94,6 +103,7 @@ def _base_cfg(**over):
         early_stopping_patience=5,
         seed=SEED,
         log_layer_grad_norms=True,  # freeze-bug class diagnostics
+        mono_wire=MONO,
     )
     cfg.update(over)
     return cfg
