@@ -43,9 +43,14 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
     runs = {}
     for d in sorted(repo.glob(".quality_run_v2_s*")):
         seed = d.name.rsplit("_s", 1)[-1]
+        mono = seed.endswith("_mono")  # grayscale-wire run (DEEPCORO_QR_MONO)
+        if mono:
+            seed = seed[: -len("_mono")]
         if "_h" in seed:  # geometry-variant run (DEEPCORO_QR_TEXT_HEADS)
             base, heads = seed.split("_h", 1)
             seed = f"{base} ({heads}-head text)"
+        if mono:
+            seed = f"{seed} (mono wire)"
         tj = d / "artifacts" / "train.json"
         if tj.exists():
             runs[seed] = {
@@ -227,6 +232,23 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 "the *throughput* configuration and its cost is documented "
                 "here rather",
                 "than hidden.",
+                "",
+            ]
+        if any("(mono wire)" in str(s) for s in runs):
+            lines += [
+                "**Mono-wire read:** the grayscale H2D wire "
+                "(`config.mono_wire`, see",
+                "docs/KERNELS.md) ships channel 0 only and folds the RGB "
+                "replication",
+                "into the patchify weights. On this corpus (grayscale "
+                "replicated to RGB,",
+                "channel-identical by construction) the mono forward is "
+                "EXACT vs the RGB",
+                "wire (tests/models/test_mono_wire.py), so its row doubles "
+                "as an",
+                "independent seed-variance point; any spread vs other seeds "
+                "is seed",
+                "variance, not wire effect.",
                 "",
             ]
     if tiers:

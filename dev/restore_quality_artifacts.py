@@ -47,9 +47,14 @@ def _display_name(seed: int | str) -> str:
     """Directory seed key -> the label the report writer publishes
     (mirrors dev/_quality_report.py: '0_h6' -> '0 (6-head text)')."""
     s = str(seed)
+    mono = s.endswith("_mono")
+    if mono:
+        s = s[: -len("_mono")]
     if "_h" in s:
         base, heads = s.split("_h", 1)
-        return f"{base} ({heads}-head text)"
+        s = f"{base} ({heads}-head text)"
+    if mono:
+        s = f"{s} (mono wire)"
     return s
 
 
