@@ -94,6 +94,31 @@ def test_report_writes_convergence_and_seed_variance(tmp_path):
     assert (tmp_path / "docs" / "quality_curves.png").exists()
 
 
+def test_mono_wire_seed_labeled_and_restorable(tmp_path):
+    """A `_mono` run dir (DEEPCORO_QR_MONO) gets a '(mono wire)' label, the
+    report carries the exactness note, and the variance-row restore path
+    accepts the composite seed key."""
+    from dev._quality_report import write_report
+    from dev.restore_quality_artifacts import restore
+
+    (tmp_path / "docs").mkdir()
+    _write_seed(tmp_path, 0, 25, 0.30)
+    _write_seed(tmp_path, "2_mono", 25, 0.28)
+    write_report(tmp_path, 6000, 1024, 16, 128)
+
+    md = (tmp_path / "QUALITY.md").read_text()
+    assert "| 2 (mono wire) | 25 |" in md
+    assert "**Mono-wire read:**" in md
+    assert "2_mono" not in md  # raw dir key never leaks into the report
+
+    out = tmp_path / "restored"
+    restore("2_mono", md_path=tmp_path / "QUALITY.md", out_root=out)
+    got = json.loads(
+        (out / ".quality_run_v2_s2_mono" / "artifacts" / "train.json")
+        .read_text())
+    assert got["history"][-1]["val_Recall@1"] == 0.28
+
+
 def test_restore_artifacts_round_trips_the_report(tmp_path):
     """dev/restore_quality_artifacts.py inverts write_report: a session that
     lost the gitignored run dirs (VM reset) can rebuild the primary seed's
