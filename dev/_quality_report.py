@@ -58,6 +58,16 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 "tiers": _load(d / "artifacts" / "tiers.json"),
                 "scaling": _load(d / "artifacts" / "scaling.json"),
             }
+            # publish the (tiny) artifact JSONs into the repo so a VM reset
+            # can't lose them: dev/restore_quality_artifacts.py copies these
+            # back verbatim instead of lossily re-parsing QUALITY.md tables
+            # name without the leading dot: .quality_run_v2_s* is gitignored
+            # (and hidden) at any depth
+            pub = (repo / "docs" / "quality_artifacts"
+                   / ("s" + d.name.rsplit("_s", 1)[-1]))
+            pub.mkdir(parents=True, exist_ok=True)
+            for j in (d / "artifacts").glob("*.json"):
+                pub.joinpath(j.name).write_text(j.read_text())
         else:
             hist = _history_from_metrics(d)
             if hist:

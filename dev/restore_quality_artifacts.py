@@ -106,6 +106,19 @@ def restore(seed: int | str = 0, md_path: Path | None = None,
         print(f"{train_json} already exists — nothing to do")
         return art
 
+    # exact path: the report stage publishes artifact JSONs into the repo
+    # (docs/quality_artifacts/s<key>/); copy them back verbatim. Rooted at
+    # the QUALITY.md's repo so tmp-dir tests don't see the real repo's
+    # published artifacts.
+    pub = ((md_path.parent if md_path else REPO)
+           / "docs" / "quality_artifacts" / f"s{seed}")
+    if (pub / "train.json").exists():
+        art.mkdir(parents=True, exist_ok=True)
+        for j in pub.glob("*.json"):
+            art.joinpath(j.name).write_text(j.read_text())
+        print(f"restored seed-{seed} artifacts VERBATIM from {pub}")
+        return art
+
     curve_header = f"## Training curve (seed {_display_name(seed)}"
     if curve_header not in md:
         return _restore_partial_from_variance(seed, md, art)

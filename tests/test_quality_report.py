@@ -111,12 +111,40 @@ def test_mono_wire_seed_labeled_and_restorable(tmp_path):
     assert "**Mono-wire read:**" in md
     assert "2_mono" not in md  # raw dir key never leaks into the report
 
+    import shutil
+    # force the variance-row parse path (this test pins the composite-key
+    # labeling round-trip, not the verbatim-copy shortcut)
+    shutil.rmtree(tmp_path / "docs" / "quality_artifacts")
     out = tmp_path / "restored"
     restore("2_mono", md_path=tmp_path / "QUALITY.md", out_root=out)
     got = json.loads(
         (out / ".quality_run_v2_s2_mono" / "artifacts" / "train.json")
         .read_text())
     assert got["history"][-1]["val_Recall@1"] == 0.28
+
+
+def test_report_publishes_artifacts_and_restore_is_verbatim(tmp_path):
+    """write_report copies each run's artifact JSONs into
+    docs/quality_artifacts/s<key>/ (committed, so a VM reset can't lose
+    them) and restore() prefers those over the lossy QUALITY.md parse."""
+    from dev._quality_report import write_report
+    from dev.restore_quality_artifacts import restore
+
+    (tmp_path / "docs").mkdir()
+    _write_seed(tmp_path, 0, 25, 0.30)
+    _write_seed(tmp_path, "2_mono", 25, 0.28)
+    write_report(tmp_path, 6000, 1024, 16, 128)
+
+    pub = tmp_path / "docs" / "quality_artifacts"
+    assert (pub / "s0" / "train.json").exists()
+    assert (pub / "s2_mono" / "train.json").exists()
+
+    out = tmp_path / "restored"
+    restore(0, md_path=tmp_path / "QUALITY.md", out_root=out)
+    got = (out / ".quality_run_v2_s0" / "artifacts" / "train.json").read_text()
+    want = (tmp_path / ".quality_run_v2_s0" / "artifacts"
+            / "train.json").read_text()
+    assert got == want  # byte-identical, not a table re-parse
 
 
 def test_restore_artifacts_round_trips_the_report(tmp_path):
@@ -126,9 +154,14 @@ def test_restore_artifacts_round_trips_the_report(tmp_path):
     from dev._quality_report import write_report
     from dev.restore_quality_artifacts import restore
 
+    import shutil
+
     (tmp_path / "docs").mkdir()
     _write_seed(tmp_path, 0, 25, 0.30)
     write_report(tmp_path, 6000, 1024, 16, 128)
+    # drop the published verbatim copies so this test exercises the
+    # markdown-parse fallback (the pre-publishing recovery path)
+    shutil.rmtree(tmp_path / "docs" / "quality_artifacts")
 
     out = tmp_path / "restored"
     restore(0, md_path=tmp_path / "QUALITY.md", out_root=out)
