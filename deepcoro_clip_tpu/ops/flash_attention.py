@@ -179,7 +179,7 @@ def _fwd_call(q, k, v, extras, *, causal, scale, block_q, has_rope, has_mask,
 def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
     it = iter(refs)
     _exp, _fold = softmax_base()  # trace-time env read
-    q_ref, k_ref, v_ref, do_ref, delta_ref = (
+    q_ref, k_ref, v_ref, do_ref, o_ref = (
         next(it), next(it), next(it), next(it), next(it),
     )
     if has_rope:
@@ -237,7 +237,15 @@ def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
         do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [Hf, bq, Lk]
-    delta = delta_ref[0]  # [Hf, bq, 1] fp32
+    # delta = rowsum(do * out) computed IN-kernel from the out residual:
+    # a host-side [G, Hf, Lq, 1] fp32 delta operand has a 1-lane minor dim
+    # whose layout materialization profiled at 3.4 GiB/s VMEM writes
+    # (~1.5 ms/step across the video tower). do is already resident; out
+    # streams in at full-lane width instead.
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # [Hf, bq, 1] fp32
     ds = (p * (dp - delta) * scale).astype(q.dtype)
 
     dq_rot = jax.lax.dot_general(
@@ -266,7 +274,7 @@ def _bwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q):
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_call(q, k, v, do, delta, extras, *, causal, scale, block_q,
+def _bwd_call(q, k, v, do, out, extras, *, causal, scale, block_q,
               has_rope, has_mask, interpret):
     G, Hf, Lq, Dh = q.shape
     Lk = k.shape[2]
@@ -277,9 +285,9 @@ def _bwd_call(q, k, v, do, delta, extras, *, causal, scale, block_q,
         pl.BlockSpec((1, Hf, Lk, Dh), lambda g, i: (g, 0, 0, 0)),       # k
         pl.BlockSpec((1, Hf, Lk, Dh), lambda g, i: (g, 0, 0, 0)),       # v
         pl.BlockSpec((1, Hf, block_q, Dh), lambda g, i: (g, 0, i, 0)),  # do
-        pl.BlockSpec((1, Hf, block_q, 1), lambda g, i: (g, 0, i, 0)),   # delta
+        pl.BlockSpec((1, Hf, block_q, Dh), lambda g, i: (g, 0, i, 0)),  # out
     ]
-    args = [q, k, v, do, delta]
+    args = [q, k, v, do, out]
     if has_rope:
         in_specs += [
             pl.BlockSpec((block_q, Dh), lambda g, i: (i, 0)),
@@ -319,7 +327,7 @@ def _bwd_call(q, k, v, do, delta, extras, *, causal, scale, block_q,
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * G * Hf * Lq * Lk * Dh,
-            bytes_accessed=(q.size * 3 + k.size * 3) * q.dtype.itemsize,
+            bytes_accessed=(q.size * 4 + k.size * 3) * q.dtype.itemsize,
             transcendentals=G * Hf * Lq * Lk,
         ),
         interpret=interpret,
@@ -355,12 +363,8 @@ def _make_fa(has_rope: bool, has_mask: bool, causal: bool, scale: float,
         q, k, v, out = res[:4]
         extras = res[4:]
         g = g.astype(q.dtype)
-        delta = jnp.sum(
-            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
-            keepdims=True,
-        )
         dq, dk, dv = _bwd_call(
-            q, k, v, g, delta, extras, causal=causal, scale=scale,
+            q, k, v, g, out, extras, causal=causal, scale=scale,
             block_q=block_q, has_rope=has_rope, has_mask=has_mask,
             interpret=interpret,
         )
