@@ -143,9 +143,53 @@ def report(n_steps: int = 4) -> None:
              f"top {cat}")
 
 
+def gaps(n_steps: int = 4) -> None:
+    """Device-timeline occupancy: span vs busy time of the TPU XLA-Ops lane
+    and the largest holes. Distinguishes real device idle from dispatch
+    latency outside the traced span (docs/KERNELS.md 'Delta-in-kernel':
+    self-time parsing alone cannot)."""
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data([_find_xplane()], "trace_viewer", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    tr = json.loads(data)
+    evs = tr["traceEvents"] if isinstance(tr, dict) else tr
+    lanes = {(e.get("pid"), e.get("tid")): (e.get("args") or {}).get("name")
+             for e in evs if e.get("ph") == "M"
+             and e.get("name") == "thread_name"}
+    ops = [e for e in evs if e.get("ph") == "X"
+           and lanes.get((e.get("pid"), e.get("tid"))) == "XLA Ops"]
+    if not ops:
+        print("no XLA Ops lane in trace")
+        return
+    ops.sort(key=lambda e: e["ts"])
+    t0 = ops[0]["ts"]
+    t1 = max(e["ts"] + e["dur"] for e in ops)
+    span = t1 - t0
+    holes, cur = [], t0
+    for e in ops:  # events nest/overlap; walk the union of intervals
+        if e["ts"] > cur:
+            holes.append((e["ts"] - cur, e["name"]))
+        cur = max(cur, e["ts"] + e["dur"])
+    idle = sum(h for h, _ in holes)
+    print(f"== device lane: span {span/1e3:.2f} ms "
+          f"({span/1e3/n_steps:.2f} ms/step), holes {idle/1e3:.3f} ms "
+          f"({100*idle/span:.2f}%) ==")
+    for h, nm in sorted(holes, reverse=True)[:10]:
+        if h < 10:
+            break
+        print(f"  {h/1e3:7.3f} ms hole before {nm[:90]}")
+
+
 if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(pos[0]) if pos else 16
     if "--report-only" not in sys.argv:
         capture(batch)
     report()
+    if "--gaps" in sys.argv:
+        gaps()
