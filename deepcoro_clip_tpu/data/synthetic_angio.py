@@ -284,6 +284,137 @@ def generate_corpus(
     return manifest
 
 
+SEGMENT_SLUGS = [name.replace(" ", "_") for name, _, _, _ in SEGMENTS]
+
+# ≥70% obstruction — the reference's stenosis-binarization threshold
+# (utils/stenosis_extractor ladder; README's "stenosis AUROC" task is a
+# frozen-backbone probe of exactly this per-segment binary).
+_OBSTRUCTIVE = ("severe", "critical", "cto")
+
+
+def probe_label_columns() -> List[str]:
+    """Label columns for frozen-backbone linear probing, in CSV order."""
+    return ([f"stenosis_{s}" for s in SEGMENT_SLUGS]
+            + ["severe_any", "cto_any", "max_stenosis_pct"])
+
+
+def probe_labels_for(video_id: int, seed: int, max_findings: int = 2,
+                     coarse_pct: bool = False) -> Dict[str, float]:
+    """Ground-truth probing labels for one corpus clip, derived from the
+    same ``sample_findings`` call that rendered it (pure function of
+    (video_id, corpus seed) — no label files need to survive VM resets).
+
+    Heads mirror the reference's probing task shapes
+    (runners/linear_probing_runner.py:567-691 output over
+    config/linear_probing/stenosis):
+      - ``stenosis_<segment>``: binary, that segment carries a >=70%
+        lesion (severe/critical/CTO);
+      - ``severe_any``: binary, any segment >=70%;
+      - ``cto_any``: binary, any chronic total occlusion;
+      - ``max_stenosis_pct``: regression 0-100, worst lesion percent
+        (CTO = 100) — the MAE analog of the reference's LVEF head.
+    """
+    findings = sample_findings(video_id, seed, max_findings, coarse_pct)
+    labels: Dict[str, float] = {f"stenosis_{s}": 0.0 for s in SEGMENT_SLUGS}
+    mx = 0.0
+    cto = 0.0
+    for f in findings:
+        pct = 100.0 if f.severity == "cto" else float(f.pct)
+        if f.severity in _OBSTRUCTIVE:
+            labels[f"stenosis_{SEGMENT_SLUGS[f.segment]}"] = 1.0
+        if f.severity == "cto":
+            cto = 1.0
+        mx = max(mx, pct)
+    labels["severe_any"] = float(any(
+        labels[f"stenosis_{s}"] for s in SEGMENT_SLUGS))
+    labels["cto_any"] = cto
+    labels["max_stenosis_pct"] = mx
+    return labels
+
+
+def write_probe_labels(corpus_dir: str | Path, seed: int,
+                       max_findings: int = 2,
+                       coarse_pct: bool = False) -> Path:
+    """Augment a generated corpus manifest with probing label columns;
+    writes ``probe_labels.csv`` next to ``data.csv`` and returns its path."""
+    import pandas as pd
+
+    corpus = Path(corpus_dir)
+    out_csv = corpus / "probe_labels.csv"
+    df = pd.read_csv(corpus / "data.csv", sep="α", engine="python")
+    ids = df.StudyInstanceUID.str.replace("SYN", "", regex=False).astype(int)
+    rows = [probe_labels_for(int(i), seed, max_findings, coarse_pct)
+            for i in ids]
+    lab = pd.DataFrame(rows)
+    pd.concat([df.reset_index(drop=True), lab], axis=1).to_csv(
+        out_csv, sep="α", index=False)
+    return out_csv
+
+
+def merge_study_findings(findings_per_clip: Sequence[Sequence[Finding]]
+                         ) -> List[Finding]:
+    """Study-level ground truth from member clips: keep the MOST SEVERE
+    finding per segment (max obstruction) — the same worst-lesion-per-vessel
+    rule the reference's study aggregation applies
+    (utils/data_aggregation.py max-stenosis merge)."""
+    best: Dict[int, Finding] = {}
+    for findings in findings_per_clip:
+        for f in findings:
+            cur = best.get(f.segment)
+            if cur is None or narrowing_of(f) < narrowing_of(cur):
+                best[f.segment] = f
+    return [best[s] for s in sorted(best)]
+
+
+def write_study_manifest(corpus_dir: str | Path, seed: int,
+                         max_findings: int = 2, coarse_pct: bool = False,
+                         videos_per_study: Tuple[int, int] = (2, 4),
+                         group_seed: int = 1234) -> Path:
+    """Group an existing single-video corpus into multi-view studies
+    (north-star config #2, reference
+    config/clip/base_config_x3d_m_multivideo.yaml): N clips share a
+    StudyInstanceUID and ONE study report describing the union of their
+    findings (different views show different vessels; worst lesion per
+    segment wins — ``merge_study_findings``). Reuses the rendered clips
+    as-is; writes ``study_data.csv`` next to ``data.csv``."""
+    import pandas as pd
+
+    corpus = Path(corpus_dir)
+    out_csv = corpus / "study_data.csv"
+    df = pd.read_csv(corpus / "data.csv", sep="α", engine="python")
+    rng = np.random.default_rng(group_seed)
+    rows = []
+    n_study = 0
+    for split in ("train", "val"):
+        sub = df[df.Split == split]
+        ids = sub.StudyInstanceUID.str.replace(
+            "SYN", "", regex=False).astype(int).to_numpy()
+        order = rng.permutation(len(ids))
+        i = 0
+        while i < len(order):
+            n = int(rng.integers(videos_per_study[0], videos_per_study[1] + 1))
+            members = order[i:i + n]
+            i += n
+            clip_ids = [int(ids[m]) for m in members]
+            merged = merge_study_findings([
+                sample_findings(c, seed, max_findings, coarse_pct)
+                for c in clip_ids
+            ])
+            text = report_text(merged, 7_000_000 + n_study, seed,
+                               paraphrase=True)
+            uid = f"SYNSTUDY{n_study:05d}"
+            n_study += 1
+            for m in members:
+                rows.append({
+                    "FileName": sub.FileName.iloc[int(m)],
+                    "Report": text,
+                    "StudyInstanceUID": uid,
+                    "Split": split,
+                })
+    pd.DataFrame(rows).to_csv(out_csv, sep="α", index=False)
+    return out_csv
+
+
 class InMemorySyntheticDataset:
     """Small in-RAM variant for tests: VideoClipDataset-compatible items."""
 

@@ -21,6 +21,7 @@ variable-size gathers; orbax checkpoints.
 from __future__ import annotations
 
 import math
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -373,19 +374,26 @@ class VideoContrastiveLearningRunner:
             loss = float(metrics["loss"])  # blocks; device is already busy
             if not math.isfinite(loss):
                 # The pipelined loop has already dispatched step i+1 when
-                # step i's metrics are read, so self.state is TWO optimizer
-                # updates past the last-known-finite state and its params are
-                # likely NaN-poisoned. Save it under a debug name only —
-                # resume must fall back to the last epoch checkpoint.
+                # step i's metrics are read, so detection is two dispatches
+                # late. With the in-program non-finite guard (train/optim.py
+                # zero_tree_if_nonfinite, default on) a blown step applies NO
+                # update, so the snapshot's params saw only finite updates —
+                # at most two of them past the failing batch. With the guard
+                # pinned off (DEEPCORO_NANGUARD=0, quality runs) the state
+                # may be NaN-poisoned; either way resume falls back to the
+                # last epoch checkpoint and this snapshot is debug-only.
+                guarded = os.environ.get("DEEPCORO_NANGUARD", "1") == "1"
                 if self.config.is_ref_device:
                     self.ckpt.save_debug(
                         "nan_debug", self.state,
                         {"epoch": epoch, "nan_loss_at_step": i,
-                         "state_steps_past_failure": 2},
+                         "state_steps_past_failure": 2,
+                         "nonfinite_update_guard": guarded},
                     )
                 raise NonFiniteLossError(
                     f"non-finite loss {loss} at epoch {epoch} step {i} "
-                    "(nan_debug snapshot is two steps past the failure; "
+                    f"(nan_debug snapshot is two dispatches past the failure"
+                    f"{', finite-updates-only' if guarded else ''}; "
                     "resume uses the last epoch checkpoint)"
                 )
             for k, v in metrics.items():

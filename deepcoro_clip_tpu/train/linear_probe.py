@@ -250,6 +250,10 @@ def make_probe_train_step(bundle: ProbeBundle):
             updates["video_encoder"], bundle.video_fracs, encoder_freeze_ratio
         )
         params = optax.apply_updates(state.params, updates)
+        # non-finite loss: no update at all (params, moments, opt counter)
+        params, opt_state = optim_lib.keep_old_if_nonfinite(
+            loss, (params, opt_state), (state.params, state.opt_state)
+        )
         metrics = {"loss": loss, "lr": bundle.schedule(state.step),
                    "grad_norm": optim_lib.global_norm(grads)}
         metrics.update({f"loss_{h}": losses[h] for h in bundle.head_names})

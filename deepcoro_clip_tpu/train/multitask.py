@@ -378,6 +378,10 @@ def make_multitask_train_step(bundle: MultitaskBundle):
             temp_override > 0, 0.0, updates["log_temp"]
         )
         params = optax.apply_updates(state.params, updates)
+        # non-finite loss: no update at all (params, moments, opt counter)
+        params, opt_state = optim_lib.keep_old_if_nonfinite(
+            loss, (params, opt_state), (state.params, state.opt_state)
+        )
         metrics = {
             "loss": loss,
             "loss_contrastive": out["contrastive"],

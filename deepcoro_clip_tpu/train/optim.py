@@ -16,6 +16,7 @@ Reference behavior reproduced:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -209,6 +210,34 @@ def make_clip_optimizer(
 
 def global_norm(tree: PyTree) -> jax.Array:
     return optax.global_norm(tree)
+
+
+def keep_old_if_nonfinite(loss: jax.Array, new: PyTree, old: PyTree) -> PyTree:
+    """Select ``old`` leaf-for-leaf when ``loss`` is non-finite (scalar
+    broadcast select; XLA fuses it into the optimizer's elementwise update
+    chains, so the finite-path cost is nil).
+
+    Train steps pass ``(params, opt_state)`` pairs through this after the
+    optimizer update: a blown step then applies NO update at all — params,
+    Adam moments, and the optimizer's step counter stay exactly at the last
+    finite state (``nan_to_num`` alone is not enough: it maps inf grads to
+    3.4e38, which poisons the moments, and Adam's momentum moves params even
+    under zeroed grads). The runner's delayed NaN detection (its pipelined
+    loop reads metrics two dispatches late) then holds a state whose params
+    saw only finite updates, instead of one NaN-poisoned twice over.
+    Mirrors the reference's skip-batch NaN sentinel
+    (runners/video_constrative_learning_runner.py:740-756) in-program.
+
+    ``DEEPCORO_NANGUARD=0`` (read at trace time) disables the guard and
+    returns ``new`` unchanged — chunked quality runs pin it off so their
+    compiled program stays byte-identical to the published seeds'
+    (dev/quality_run.py; same pattern as DEEPCORO_PACKED_ATTN).
+    """
+    if os.environ.get("DEEPCORO_NANGUARD", "1") != "1":
+        return new
+    finite = jnp.isfinite(loss)
+    return jax.tree_util.tree_map(lambda n, o: jnp.where(finite, n, o),
+                                  new, old)
 
 
 def optimizer_step_count(opt_state, fallback) -> jax.Array:

@@ -42,7 +42,10 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                  text_len: int) -> None:
     runs = {}
     for d in sorted(repo.glob(".quality_run_v2_s*")):
-        seed = d.name.rsplit("_s", 1)[-1]
+        seed = d.name.split("_v2_s", 1)[-1]
+        study = seed.endswith("_study")  # study-mode run (DEEPCORO_QR_STUDY)
+        if study:
+            seed = seed[: -len("_study")]
         mono = seed.endswith("_mono")  # grayscale-wire run (DEEPCORO_QR_MONO)
         if mono:
             seed = seed[: -len("_mono")]
@@ -51,12 +54,15 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
             seed = f"{base} ({heads}-head text)"
         if mono:
             seed = f"{seed} (mono wire)"
+        if study:
+            seed = f"{seed} (study mode)"
         tj = d / "artifacts" / "train.json"
         if tj.exists():
             runs[seed] = {
                 "train": _load(tj),
                 "tiers": _load(d / "artifacts" / "tiers.json"),
                 "scaling": _load(d / "artifacts" / "scaling.json"),
+                "probe": _load(d / "artifacts" / "probe.json"),
             }
             # publish the (tiny) artifact JSONs into the repo so a VM reset
             # can't lose them: dev/restore_quality_artifacts.py copies these
@@ -64,7 +70,7 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
             # name without the leading dot: .quality_run_v2_s* is gitignored
             # (and hidden) at any depth
             pub = (repo / "docs" / "quality_artifacts"
-                   / ("s" + d.name.rsplit("_s", 1)[-1]))
+                   / ("s" + d.name.split("_v2_s", 1)[-1]))
             pub.mkdir(parents=True, exist_ok=True)
             for j in (d / "artifacts").glob("*.json"):
                 pub.joinpath(j.name).write_text(j.read_text())
@@ -77,6 +83,7 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                                   h.get("epoch_seconds", 0) for h in hist), 1),
                               "config": {"partial": True}},
                     "tiers": {}, "scaling": {},
+                    "probe": _load(d / "artifacts" / "probe.json"),
                 }
     if not runs:
         raise SystemExit("no .quality_run_v2_s*/artifacts/train.json found")
@@ -299,6 +306,58 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                         f"| {m.get('Recall@10', float('nan')):.3f} "
                         f"| {m.get('MedianRank', float('nan')):.1f} |"
                     )
+            lines.append("")
+    probes = {s: r["probe"] for s, r in runs.items() if r.get("probe")}
+    if probes:
+        lines += [
+            "## Frozen-backbone linear probing (MIL heads, AUROC + bootstrap CI)",
+            "",
+            "The reference's headline capability (README stenosis AUROC 0.888 /",
+            "MACE 0.79 / LVEF MAE 7.3% are all frozen-backbone probing results).",
+            "Here: the REAL `LinearProbingRunner` trains attention-MIL heads on a",
+            "seed's frozen CLIP backbone against labels derived from the corpus",
+            "generator (`probe_labels_for` — per-segment >=70% binaries, any-severe,",
+            "any-CTO, and worst-percent regression), then evaluates the best",
+            "checkpoint with n=1000 bootstrap CIs. The *floor* columns are the",
+            "same metric under label permutation (n=200): any head whose CI",
+            "clears its floor's p97.5 has decodable signal in the frozen",
+            "embeddings.",
+            "",
+        ]
+        for s in sorted(probes):
+            pj = probes[s]
+            lines += [
+                f"Backbone: seed {s} best checkpoint "
+                f"(`{pj.get('best_checkpoint')}`), {pj.get('epochs')} probe "
+                f"epochs, {pj.get('n_val')} unseen val videos.",
+                "",
+                "| head | task | prevalence | AUROC / MAE | 95% CI "
+                "| shuffled floor (mean, p97.5) | clears floor |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for head, e in pj.get("heads", {}).items():
+                task = e.get("task", "binary")
+                key = "mae" if task == "regression" else "auc"
+                point = e.get(key, float("nan"))
+                lo = e.get(f"{key}_ci_lo", float("nan"))
+                hi = e.get(f"{key}_ci_hi", float("nan"))
+                fm = e.get("floor_mean", float("nan"))
+                fp = e.get("floor_p97_5", float("nan"))
+                f2 = e.get("floor_p2_5", float("nan"))
+                if task == "regression":
+                    # lower-is-better: clears when CI hi < floor p2.5
+                    clears = "yes" if hi < f2 else "NO"
+                    floor_s = f"{fm:.2f}, p2.5 {f2:.2f}"
+                else:
+                    clears = "yes" if lo > fp else "NO"
+                    floor_s = f"{fm:.3f}, {fp:.3f}"
+                prev = e.get("prevalence")
+                prev_s = f"{prev:.3f}" if isinstance(prev, float) else "—"
+                fmt = ".2f" if task == "regression" else ".3f"
+                lines.append(
+                    f"| {head} | {task} | {prev_s} | {point:{fmt}} "
+                    f"| [{lo:{fmt}}, {hi:{fmt}}] | {floor_s} | {clears} |"
+                )
             lines.append("")
     if scaling:
         lines += [

@@ -15,6 +15,7 @@ Generates a throwaway mini-corpus under /tmp if no corpus exists.
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -42,12 +43,12 @@ def _ensure_corpus(n: int) -> Path:
 
 
 def main() -> None:
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_clips = int(pos[0]) if pos else 128
-    if "--corpus" in sys.argv:
-        corpus = Path(sys.argv[sys.argv.index("--corpus") + 1])
-    else:
-        corpus = _ensure_corpus(n_clips)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("n_clips", nargs="?", type=int, default=128)
+    ap.add_argument("--corpus", type=Path, default=None)
+    args = ap.parse_args()
+    n_clips = args.n_clips
+    corpus = args.corpus if args.corpus is not None else _ensure_corpus(n_clips)
 
     import jax
 
@@ -88,6 +89,18 @@ def main() -> None:
     gathered = [timed("gather+resize", lambda r=r, i=i: video_io
                       ._resize_frames(np.ascontiguousarray(r[i]), 224))
                 for r, i in zip(raws, idxs)]
+    # The production uint8 wire rides the fused native kernel
+    # (fv_sample_resize_u8: gather+resize in one pass) when available —
+    # time it too so stage attribution reflects the real loader path, not
+    # just the manual numpy composition above (which the fused kernel
+    # replaces wholesale).
+    from deepcoro_clip_tpu.data import fastvideo_binding as _fast
+
+    if _fast.u8_available() and raws and raws[0].dtype == np.uint8:
+        _ = [timed("fused native u8 (prod path)",
+                   lambda r=r, i=i: _fast.sample_resize_u8(
+                       r, np.asarray(i, dtype=np.int64), 224, 224))
+             for r, i in zip(raws, idxs)]
     _ = [timed("augment", video_io.augment_frames, g.copy(), rng)
          for g in gathered]
     _ = [timed("tokenize", tok, [tx], max_length=TEXT_LEN,
@@ -103,6 +116,10 @@ def main() -> None:
     t["collate(tok+assemble)"] = time.perf_counter() - t0
 
     print(f"== per-clip stages over {n} clips (ms/clip) ==")
+    print("   (note: 'gather+resize' times the manual numpy path; the"
+          " production uint8 wire replaces it with the fused native kernel"
+          " — see the 'fused native u8' row when present. On an already-"
+          f"{224}px corpus resize is a no-op either way.)")
     for k, v in sorted(t.items(), key=lambda kv: -kv[1]):
         print(f"  {k:24s} {1e3 * v / n:8.2f}")
 

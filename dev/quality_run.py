@@ -51,6 +51,13 @@ TEXT_HEADS = int(os.environ.get("DEEPCORO_QR_TEXT_HEADS", "12"))
 # checkpoints are wire-interchangeable (the param tree is identical), so a
 # mono run's artifacts remain comparable.
 MONO = os.environ.get("DEEPCORO_QR_MONO", "0") == "1"
+# Study mode (DEEPCORO_QR_STUDY=1): multi-view study retrieval — north-star
+# config #2 (reference config/clip/base_config_x3d_m_multivideo.yaml). The
+# corpus stage groups the SAME rendered clips into 2-4-video studies with
+# one union-of-findings report (synthetic_angio.write_study_manifest); the
+# train stage runs the multi-video recipe (aggregator over per-video
+# embeddings) and retrieval is scored at STUDY level.
+STUDY = os.environ.get("DEEPCORO_QR_STUDY", "0") == "1"
 
 # Pin the quality-recipe PROGRAM regardless of the library's throughput
 # defaults: every published quality seed ran the standard attention kernel
@@ -60,11 +67,16 @@ MONO = os.environ.get("DEEPCORO_QR_MONO", "0") == "1"
 # silently change the program mid-run. Callers can still override.
 os.environ.setdefault("DEEPCORO_PACKED_ATTN", "0")
 os.environ.setdefault("DEEPCORO_EXP2_SOFTMAX", "0")
+# The round-4 non-finite-loss update guard changes the train-step program;
+# quality seeds stay on the published seeds' exact program (the guard is
+# purely defensive — no published seed ever hit a non-finite loss).
+os.environ.setdefault("DEEPCORO_NANGUARD", "0")
 
 # v2 run dirs are per-seed; round-2's 10-epoch .quality_run is kept as-is
 RUN_DIR = REPO / (f".quality_run_v2_s{SEED}"
                   + ("" if TEXT_HEADS == 12 else f"_h{TEXT_HEADS}")
-                  + ("_mono" if MONO else ""))
+                  + ("_mono" if MONO else "")
+                  + ("_study" if STUDY else ""))
 ART = RUN_DIR / "artifacts"
 
 
@@ -76,6 +88,10 @@ def stage_corpus():
         CORPUS, n_train=N_TRAIN, n_val=N_VAL, size=224, frames=16,
         seed=CORPUS_SEED, max_findings=2, paraphrase=True, coarse_pct=True,
     )
+    if STUDY:
+        from deepcoro_clip_tpu.data.synthetic_angio import write_study_manifest
+
+        manifest = write_study_manifest(CORPUS, CORPUS_SEED, 2, True)
     print(f"corpus ready: {manifest} ({time.perf_counter() - t0:.0f}s)")
     return manifest
 
@@ -84,7 +100,7 @@ def _base_cfg(**over):
     cfg = dict(
         pipeline_project="DeepCORO_clip",
         run_mode="train",
-        data_filename=str(CORPUS / "data.csv"),
+        data_filename=str(CORPUS / ("study_data.csv" if STUDY else "data.csv")),
         output_dir=str(RUN_DIR / "outputs"),
         epochs=EPOCHS,
         batch_size=BATCH,
@@ -92,7 +108,9 @@ def _base_cfg(**over):
         resize=224,
         stride=1,
         num_workers=2,
-        multi_video=False,
+        multi_video=STUDY,
+        **({"num_videos": 4, "groupby_column": "StudyInstanceUID",
+            "shuffle_videos": True} if STUDY else {}),
         max_text_length=TEXT_LEN,
         lr=1e-4,
         scheduler_name="cosine_with_warmup",
@@ -278,6 +296,9 @@ def _corpus_3f():
 def stage_tiers():
     """R@k split by difficulty: 1/2-finding val videos + the 3-findings
     out-of-distribution corpus (unseen composition count)."""
+    if STUDY:
+        print("tiers are defined per-clip; skipped in study mode")
+        return
     import pandas as pd
     import yaml
 
@@ -547,6 +568,216 @@ def stage_scaling_probe(only_B: int):
         (ART / "scaling.json").write_text(json.dumps(results))
 
 
+# ------------------------------------------------------------------ #
+# frozen-backbone linear probing (VERDICT round-3 #1): the reference's
+# headline capability is probing AUROC (README.md:15-20 — stenosis 0.888,
+# MACE 0.79, LVEF MAE 7.3%) out of linear_probing_runner.py:567-691. This
+# stage trains the REAL LinearProbingRunner's MIL heads on this run's
+# frozen CLIP backbone against the corpus's derived per-segment labels and
+# reports AUROC + bootstrap CI per head vs a label-shuffled floor.
+# ------------------------------------------------------------------ #
+
+PROBE_EPOCHS = int(os.environ.get("DEEPCORO_QR_PROBE_EPOCHS", "10"))
+PROBE_DIR = RUN_DIR / "probe"
+
+
+def _probe_heads():
+    from deepcoro_clip_tpu.data.synthetic_angio import probe_label_columns
+
+    cols = probe_label_columns()
+    task = {c: ("regression" if c == "max_stenosis_pct" else "binary")
+            for c in cols}
+    loss = {c: ("huber" if task[c] == "regression" else "bce_logit")
+            for c in cols}
+    return cols, task, loss
+
+
+def _write_probe_config():
+    import yaml
+
+    from deepcoro_clip_tpu.data.synthetic_angio import write_probe_labels
+
+    labels_csv = write_probe_labels(CORPUS, CORPUS_SEED, 2, True)
+    run_out = _existing_run_dir()
+    assert run_out is not None, "probe stage needs a finished train stage"
+    from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(run_out / "checkpoints")
+    best = ckpt.find_best() or "checkpoint"
+    meta = json.loads((run_out / "checkpoints" / "checkpoint.json").read_text())
+    train_cfg = yaml.safe_load((RUN_DIR / "train_config.yaml").open())
+
+    cols, task, loss = _probe_heads()
+    cfg = dict(
+        pipeline_project="DeepCORO_video_linear_probing",
+        run_mode="train",
+        data_filename=str(labels_csv),
+        output_dir=str(PROBE_DIR / "outputs"),
+        epochs=PROBE_EPOCHS,
+        batch_size=BATCH,
+        frames=16, resize=224, stride=1, num_workers=2,
+        multi_video=True, num_videos=1,
+        groupby_column="StudyInstanceUID",
+        head_structure={c: 1 for c in cols},
+        head_task=task,
+        loss_structure=loss,
+        head_lr={c: 1e-3 for c in cols},
+        pooling_mode="attention",
+        attention_hidden=256,
+        video_encoder_checkpoint_path=str(run_out / "checkpoints" / best),
+        video_freeze_ratio=1.0,
+        # video tower geometry MUST match the CLIP checkpoint's
+        **{k: train_cfg[k] for k in (
+            "vit_dim", "vit_depth", "vit_heads", "vit_patch",
+            "vit_pool_stages", "use_cls_token", "embedding_dim", "dropout",
+            "precision", "use_pallas_attention")},
+        # reuse the CLIP run's resolved stats (same corpus; probing never
+        # re-scans the train split)
+        dataset_mean=meta.get("dataset_mean"),
+        dataset_std=meta.get("dataset_std"),
+        optimizer="AdamW", lr=1e-3, scheduler_name="cosine_with_warmup",
+        max_grad_norm=1.0, early_stopping_patience=5,
+        ci_n_bootstrap=1000, ci_confidence_level=0.95,
+        use_wandb=False, seed=SEED, mono_wire=MONO,
+    )
+    PROBE_DIR.mkdir(parents=True, exist_ok=True)
+    cfg_path = PROBE_DIR / "probe_config.yaml"
+    yaml.safe_dump(cfg, cfg_path.open("w"))
+    return cfg_path, best
+
+
+def _probe_run_dir():
+    outs = sorted((PROBE_DIR / "outputs").rglob("checkpoints"))
+    return outs[-1].parent if outs else None
+
+
+def _make_probe_runner(run_mode="train"):
+    import yaml
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.registry import RunnerRegistry, register_all
+    from deepcoro_clip_tpu.utils.compile_cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    register_all()
+    cfg_path = PROBE_DIR / "probe_config.yaml"
+    if run_mode != "train":
+        over = yaml.safe_load(cfg_path.open())
+        over["run_mode"] = run_mode
+        cfg_path = PROBE_DIR / f"probe_config_{run_mode}.yaml"
+        yaml.safe_dump(over, cfg_path.open("w"))
+    config = parse_config(["--base_config", str(cfg_path)])
+    run_out = _probe_run_dir()
+    if run_out is None:
+        run_out = PROBE_DIR / "outputs" / "run"
+        run_out.mkdir(parents=True, exist_ok=True)
+    else:
+        config.resume_training = True
+    runner = RunnerRegistry.get(config.pipeline_project)(
+        config, output_dir=str(run_out))
+    return runner
+
+
+def stage_probe_chunk(start: int, end: int):
+    runner = _make_probe_runner()
+    s = max(start, runner.maybe_resume())
+    print(f"probe chunk: epochs [{s}, {end})", flush=True)
+    runner.train(s, end)
+
+
+def stage_probe_eval():
+    """Final bootstrap-CI evaluation on the BEST probe checkpoint, plus the
+    label-shuffled AUROC floor (200 permutations) per binary head."""
+    import numpy as np
+    import pandas as pd
+
+    runner = _make_probe_runner(run_mode="val")
+    best = runner.ckpt.find_best()
+    if best:
+        runner.state = runner.ckpt.restore(runner.state, best)
+    metrics = runner.validate(split="val", epoch=998, save_predictions=True)
+
+    run_out = _probe_run_dir()
+    preds = pd.read_csv(run_out / "val" / "predictions_epoch_998.csv")
+    cols, task, _ = _probe_heads()
+    rng = np.random.default_rng(0)
+    from deepcoro_clip_tpu.utils.metrics import compute_head_metrics
+
+    out = {"best_checkpoint": best, "epochs": PROBE_EPOCHS,
+           "n_val": int(len(preds)), "heads": {}}
+    for c in cols:
+        p = preds[f"{c}_pred"].to_numpy(np.float32)
+        t = preds[f"{c}_target"].to_numpy(np.float32)
+        entry = {}
+        for k, v in metrics.items():
+            if not k.startswith(f"{c}/"):
+                continue
+            name = k.split("/", 1)[1]
+            if isinstance(v, dict):  # bootstrap CI: {"point","lo","hi"}
+                for kk, vv in v.items():
+                    entry[f"{name}_{kk}"] = float(vv)
+            elif isinstance(v, (int, float)):
+                entry[name] = float(v)
+        entry["task"] = task[c]
+        entry["prevalence"] = float(t.mean()) if task[c] == "binary" else None
+        # label-shuffled floor: what the same metric reads on destroyed
+        # video->label correspondence (200 permutations, mean + p97.5)
+        floors = []
+        for _ in range(200):
+            ts = rng.permutation(t)
+            hm = compute_head_metrics(p, ts, task[c], with_ci=False)
+            floors.append(hm.get("auc" if task[c] == "binary" else "mae"))
+        floors = np.asarray([f for f in floors if f is not None], np.float64)
+        if floors.size:
+            entry["floor_mean"] = float(floors.mean())
+            entry["floor_p97_5"] = float(np.percentile(floors, 97.5))
+            entry["floor_p2_5"] = float(np.percentile(floors, 2.5))
+        out["heads"][c] = entry
+        print(c, {k: round(v, 4) for k, v in entry.items()
+                  if isinstance(v, float)}, flush=True)
+    ART.mkdir(parents=True, exist_ok=True)
+    (ART / "probe.json").write_text(json.dumps(out, default=float))
+
+
+def stage_probe():
+    """Chunked probing train (subprocess per chunk; H2D-leak bound), then
+    the CI + shuffled-floor eval, into artifacts/probe.json."""
+    import subprocess
+
+    if STUDY:
+        print("probing uses the single-video corpus; skipped in study mode")
+        return
+    _write_probe_config()
+    CHUNK = 3
+    while True:
+        run_out = _probe_run_dir()
+        done = _last_epoch(run_out) if run_out else -1
+        start = done + 1
+        if start >= PROBE_EPOCHS:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()),
+                 f"probe_chunk:{start}:{min(start + CHUNK, PROBE_EPOCHS)}"],
+                cwd=str(REPO), timeout=5400,
+            )
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc != 0:
+            new_done = _last_epoch(_probe_run_dir())
+            if new_done <= done:
+                raise RuntimeError(
+                    f"probe chunk failed (rc={rc}) at epoch {start}")
+            print(f"probe chunk rc={rc}; progressed to {new_done}", flush=True)
+    r = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "probe_eval"],
+        cwd=str(REPO), timeout=5400,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"probe eval failed rc={r.returncode}")
+
+
 def stage_report():
     from dev._quality_report import write_report
 
@@ -558,6 +789,8 @@ STAGES = {
     "train": stage_train,
     "tiers": stage_tiers,
     "scaling": stage_scaling,
+    "probe": stage_probe,
+    "probe_eval": stage_probe_eval,
     "report": stage_report,
 }
 
@@ -568,6 +801,9 @@ if __name__ == "__main__":
         if n.startswith("train_chunk:"):
             _, a, b = n.split(":")
             stage_train_chunk(int(a), int(b))
+        elif n.startswith("probe_chunk:"):
+            _, a, b = n.split(":")
+            stage_probe_chunk(int(a), int(b))
         elif n.startswith("scaling_probe:"):
             stage_scaling_probe(int(n.split(":")[1]))
         elif n.startswith("scaling_recipe:"):

@@ -47,6 +47,9 @@ def _display_name(seed: int | str) -> str:
     """Directory seed key -> the label the report writer publishes
     (mirrors dev/_quality_report.py: '0_h6' -> '0 (6-head text)')."""
     s = str(seed)
+    study = s.endswith("_study")
+    if study:
+        s = s[: -len("_study")]
     mono = s.endswith("_mono")
     if mono:
         s = s[: -len("_mono")]
@@ -55,6 +58,8 @@ def _display_name(seed: int | str) -> str:
         s = f"{base} ({heads}-head text)"
     if mono:
         s = f"{s} (mono wire)"
+    if study:
+        s = f"{s} (study mode)"
     return s
 
 

@@ -207,3 +207,39 @@ def test_alignment_score_modes():
         v, t, positive_mask=pos, sample_mask=jnp.asarray([1.0, 0.0, 1.0, 1.0])
     ))
     assert abs(got2 - float(sims[0, 2])) < 1e-6
+
+
+def test_nonfinite_loss_applies_no_update(mesh):
+    """A step whose loss is non-finite must leave params and opt state
+    exactly unchanged (train/optim.zero_tree_if_nonfinite, round-4 ADVICE
+    fix): the runner's delayed NaN detection then snapshots a state whose
+    params saw only finite updates. Poisoning log_temp with NaN makes the
+    loss NaN (embeddings themselves are nan-scrubbed in compute_loss)."""
+    cfg = tiny_config()
+    bundle, state = build_clip_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    step_fn = make_train_step(bundle)
+    batch = bundle.batch_sharding_fn(synth_batch(cfg))
+    # warm one normal step so Adam moments are non-trivial
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), 0.0, 0.0, -1.0)
+
+    poisoned = dict(state.params)
+    poisoned["log_temp"] = jnp.full_like(state.params["log_temp"], jnp.nan)
+    state = state.replace(params=poisoned)
+    before_p = jax.tree_util.tree_map(np.asarray, dict(state.params))
+    before_o = jax.tree_util.tree_map(np.asarray, state.opt_state)
+    step_before = int(state.step)
+
+    state2, metrics = step_fn(state, batch, jax.random.PRNGKey(1),
+                              0.0, 0.0, -1.0)
+    assert not np.isfinite(float(metrics["loss"]))
+    after_p = jax.tree_util.tree_map(np.asarray, dict(state2.params))
+    after_o = jax.tree_util.tree_map(np.asarray, state2.opt_state)
+    for b, a in zip(jax.tree_util.tree_leaves(before_p),
+                    jax.tree_util.tree_leaves(after_p)):
+        np.testing.assert_array_equal(b, a)
+    for b, a in zip(jax.tree_util.tree_leaves(before_o),
+                    jax.tree_util.tree_leaves(after_o)):
+        if np.issubdtype(np.asarray(b).dtype, np.integer):
+            continue  # step counters may advance; only moments must hold
+        np.testing.assert_array_equal(b, a)
+    assert int(state2.step) == step_before + 1
