@@ -110,6 +110,14 @@ class ClipConfig(BaseConfig):
     # as hard negatives
     siglip_contradiction_boost: float = 0.0
     siglip_contradiction_min_severity: str = "moderate"
+    # batch-level sampler policy: "pairs" = per-item positive/negative packs
+    # (SiglipVideoDataset), "single_head" = the reference's full
+    # SingleHeadRetrievalSampler batch assembly (severity-capped positives,
+    # bucketed negative quotas, class-balance weights;
+    # data/single_head_sampler.py)
+    siglip_sampler: str = "pairs"
+    siglip_base_negative_weight: float = 0.04
+    siglip_min_pos_weight: float = 0.0
     siglip_abnormal_ratio: float = 0.5
     siglip_use_weighted_loss: bool = False
     siglip_bias_init: float = -10.0

@@ -65,6 +65,8 @@ class LinearProbingConfig(BaseConfig):
     view_column: Optional[str] = None
     num_view_classes: int = 0
     view_embedding_lr: Optional[float] = None
+    # view name -> class id (reference view_aware configs' view_labels_map)
+    view_labels_map: Dict[str, int] = field(default_factory=dict)
 
     # ---- encoder ----
     model_name: str = "mvit"

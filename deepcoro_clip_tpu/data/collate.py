@@ -163,6 +163,72 @@ def collate_multi_positive(
     return out
 
 
+def collate_single_head(
+    items: List[Dict[str, Any]],
+    tokenizer,
+    sampler,
+    text_by_id: Dict[str, str],
+    video_to_positives: Dict[str, List],
+    epoch: int = 0,
+    phase: str = "train",
+    max_text_length: int = 512,
+    max_texts: int = 64,
+    patch: Optional[Sequence[int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Batch assembly through the SingleHeadRetrievalSampler
+    (data/single_head_sampler.py): the sampler builds the batch's deduped
+    text bank plus dense (Y, W) matrices; this pads them to ``max_texts``
+    for XLA shape stability. Emits the same keys as
+    ``collate_multi_positive`` so the loader/runner plumbing is identical —
+    pair with ``loss_name: siglip_single_head``, whose W semantics differ
+    (W weights every SAMPLED pair; 0 excludes).
+
+    The sampler carries round-robin coverage state across calls: share ONE
+    instance per run (thread-backend loaders share it; a process-backend
+    loader would fork the state and degrade coverage back to per-worker)."""
+    from deepcoro_clip_tpu.data.single_head_sampler import VideoEntry
+
+    entries = [
+        VideoEntry(
+            video_id=str(it["video_id"]),
+            positive_pairs=video_to_positives.get(str(it["video_id"]), []),
+        )
+        for it in items
+    ]
+    out_s = sampler.prepare_batch(entries, epoch=epoch, phase=phase)
+    B = len(items)
+    M = min(len(out_s.text_ids), max_texts)
+    dropped = len(out_s.text_ids) - M
+    pos = np.zeros((B, max_texts), np.float32)
+    w = np.zeros((B, max_texts), np.float32)
+    pos[:, :M] = out_s.labels[:, :M]
+    w[:, :M] = out_s.weights[:, :M]
+    bank = [text_by_id[t] for t in out_s.text_ids[:M]]
+    texts_padded = bank + [""] * (max_texts - M)
+    enc = tokenizer(
+        texts_padded,
+        max_length=max_text_length,
+        padding="max_length",
+        truncation=True,
+        return_tensors="np",
+    )
+    valid = np.zeros((max_texts,), np.float32)
+    valid[:M] = 1.0
+    return {
+        "videos": _maybe_patchify(
+            np.stack([it["videos"] for it in items]), patch),
+        "video_mask": np.stack([it["video_mask"] for it in items]),
+        "input_ids": np.asarray(enc["input_ids"], np.int32),
+        "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+        "positive_mask": pos,
+        "positive_weights": w,
+        "text_valid": valid,
+        "unique_texts": bank,
+        "paths": [it.get("paths", []) for it in items],
+        "n_dropped_texts": dropped,
+    }
+
+
 def collate_mil(
     items: List[Dict[str, Any]],
     head_names: Sequence[str],

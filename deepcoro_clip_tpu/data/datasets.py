@@ -225,12 +225,16 @@ class VideoDataset(VideoClipDataset):
         labels_map: Optional[Dict[str, Dict[str, int]]] = None,
         view_column: Optional[str] = None,
         num_view_classes: int = 0,
+        view_labels_map: Optional[Dict[str, int]] = None,
         **kwargs,
     ):
         super().__init__(*args, target_label=None, extra_columns=(), **kwargs)
         self.target_labels = list(target_labels)
         self.labels_map = labels_map or {}
         self.view_column = view_column
+        # view NAME -> class id (reference view_aware configs); numeric view
+        # columns pass through unchanged
+        self.view_labels_map = view_labels_map or {}
         # PAD view id = num_view_classes (reference PAD embedding row,
         # models/multi_instance_linear_probing.py:141-145)
         self.pad_view_id = num_view_classes
@@ -254,6 +258,9 @@ class VideoDataset(VideoClipDataset):
             # stay aligned with the loaded (possibly shuffled) videos
             sel_rows = self.df.loc[out["selected_rows"]]
             for j, v in enumerate(sel_rows[self.view_column].tolist()[:N]):
+                if isinstance(v, str) and v in self.view_labels_map:
+                    view_ids[j] = int(self.view_labels_map[v])
+                    continue
                 try:
                     view_ids[j] = int(v)
                 except (TypeError, ValueError):

@@ -128,6 +128,54 @@ class SiglipResources:
             w = float(row.get(edge_weight_column, 1.0) or 1.0)
             self.video_to_positives[vid].append((tid, w))
 
+    def make_single_head_sampler(self, config=None, seed: int = 0):
+        """Build the batch-level SingleHeadRetrievalSampler
+        (data/single_head_sampler.py) over this resource set's text catalog,
+        with class-balance statistics computed from the catalog itself
+        (reference compute_class_statistics,
+        utils/siglip/single_head_sampler.py:896-930)."""
+        import random as _random
+
+        from deepcoro_clip_tpu.data.single_head_sampler import (
+            SingleHeadRetrievalSampler,
+            build_text_catalog,
+            compute_class_statistics,
+        )
+
+        raw = []
+        for tid in self.all_text_ids:
+            m = self.meta_by_id[tid]
+            raw.append({
+                "text_id": tid,
+                "prompt_text": self.text_by_id[tid],
+                "category": m.get("category"),
+                "segment": m.get("segment"),
+                "bin": m.get("bin"),
+                "tree": m.get("tree"),
+                "stent": m.get("stent"),
+                "soft_weight": m.get("soft_weight", 1.0),
+                "disease_severity": m.get("severity"),
+                "prompt_bucket": m.get("prompt_bucket"),
+            })
+        cw, lb = compute_class_statistics(raw)
+        kw = {}
+        if config is not None:
+            kw = dict(
+                max_negatives=config.siglip_negatives_per_video,
+                base_negative_weight=config.siglip_base_negative_weight,
+                round_robin=config.siglip_round_robin_sampling,
+                min_pos_weight=config.siglip_min_pos_weight,
+                positive_severity_weights=(
+                    config.siglip_positive_severity_weights),
+                contradiction_boost=config.siglip_contradiction_boost or 1.0,
+                contradiction_min_severity=(
+                    config.siglip_contradiction_min_severity),
+            )
+        return SingleHeadRetrievalSampler(
+            build_text_catalog(raw, cw, lb),
+            rng=_random.Random(seed), **kw,
+        )
+
     @staticmethod
     def _norm(v) -> Optional[str]:
         if isinstance(v, str) and v.strip():

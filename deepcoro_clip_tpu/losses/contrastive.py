@@ -209,6 +209,52 @@ def siglip_multi_positive_loss(
     return {"loss": loss, "similarity": logits, "temperature": temp}
 
 
+@LossRegistry.register("siglip_single_head")
+def siglip_single_head_loss(
+    video_emb: jax.Array,
+    text_emb: jax.Array,
+    positive_mask: jax.Array,
+    log_temp: jax.Array,
+    bias: jax.Array,
+    positive_weights: Optional[jax.Array] = None,
+    text_valid: Optional[jax.Array] = None,
+    logit_clamp: float = 30.0,
+    entropy_reg_weight: float = 0.0,
+    sample_mask: Optional[jax.Array] = None,
+    **kw,
+) -> Dict[str, jax.Array]:
+    """Dense-matrix sigmoid loss over the SingleHeadRetrievalSampler's
+    (Y, W) output (data/single_head_sampler.py; behavioral spec
+    /root/reference/utils/siglip/single_head_sampler.py:174-225): unlike the
+    multi-positive BCE — where every valid (video, text) cell is an implicit
+    negative — here ``positive_weights`` is the sampler's W matrix and
+    weights EVERY sampled pair, positives and negatives alike; W == 0 means
+    the pair was not sampled and contributes nothing. Reduction is
+    weight-normalized so the sampler's per-bucket weight scales set relative
+    pair importance without changing the loss magnitude."""
+    v = l2_normalize(video_emb)
+    t = l2_normalize(text_emb)
+    temp = jnp.maximum(jnp.exp(log_temp), 1e-4)
+    logits = (v @ t.T) / temp + bias  # [B, M]
+    logits = jnp.clip(logits, -logit_clamp, logit_clamp)
+
+    pos = positive_mask.astype(jnp.float32)
+    labels = 2.0 * pos - 1.0
+    per_pair = jax.nn.softplus(-labels * logits)
+
+    w = (jnp.maximum(positive_weights.astype(jnp.float32), 0.0)
+         if positive_weights is not None else jnp.ones_like(per_pair))
+    if text_valid is not None:
+        w = w * text_valid.astype(jnp.float32)[None, :]
+    if sample_mask is not None:
+        w = w * sample_mask.astype(jnp.float32)[:, None]
+    loss = jnp.sum(per_pair * w) / jnp.maximum(jnp.sum(w), 1e-6)
+    loss = loss + entropy_regularization(
+        logits, entropy_reg_weight, col_mask=text_valid
+    )
+    return {"loss": loss, "similarity": logits, "temperature": temp}
+
+
 @LossRegistry.register("weighted_siglip")
 def weighted_siglip_loss(
     video_emb, text_emb, positive_mask, log_temp, bias=None,

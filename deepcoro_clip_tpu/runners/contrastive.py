@@ -203,15 +203,35 @@ class VideoContrastiveLearningRunner:
         from deepcoro_clip_tpu.data.collate import wire_patch
 
         patch = wire_patch(cfg)
-        if self.multi_positive:
+        max_texts = cfg.batch_size * (cfg.siglip_max_positive_per_video
+                                      + cfg.siglip_negatives_per_video)
+        if (self.multi_positive
+                and getattr(cfg, "siglip_sampler", "pairs") == "single_head"
+                and self.siglip_resources is not None):
+            # batch-level reference policy (data/single_head_sampler.py);
+            # ONE stateful sampler per run so round-robin coverage persists
+            from deepcoro_clip_tpu.data.collate import collate_single_head
+
+            if getattr(self, "_single_head_sampler", None) is None:
+                self._single_head_sampler = (
+                    self.siglip_resources.make_single_head_sampler(
+                        cfg, seed=cfg.seed))
+            train_ds = self.datasets.get("train")
+            batch = collate_single_head(
+                items, self.tokenizer, self._single_head_sampler,
+                self.siglip_resources.text_by_id,
+                self.siglip_resources.video_to_positives,
+                epoch=getattr(train_ds, "epoch", 0),
+                max_text_length=cfg.max_text_length,
+                max_texts=max_texts, patch=patch,
+            )
+        elif self.multi_positive:
             batch = collate_multi_positive(
                 items, self.tokenizer,
                 max_text_length=cfg.max_text_length,
                 # room for positives AND hard negatives (dedup usually leaves
                 # slack; too-small a bank silently drops negatives)
-                max_texts=cfg.batch_size
-                * (cfg.siglip_max_positive_per_video
-                   + cfg.siglip_negatives_per_video),
+                max_texts=max_texts,
                 patch=patch,
             )
         else:

@@ -99,6 +99,7 @@ class LinearProbingRunner:
             labels_map=cfg.labels_map,
             view_column=cfg.view_column,
             num_view_classes=cfg.num_view_classes,
+            view_labels_map=getattr(cfg, "view_labels_map", None),
             wire_dtype=cfg.wire_dtype,
             mono_wire=getattr(cfg, "mono_wire", False),
         )
@@ -250,7 +251,9 @@ class LinearProbingRunner:
         for h in heads:
             p = np.concatenate(preds[h])
             t = np.concatenate(targets[h])
-            task = cfg.head_task.get(h, "binary")
+            from deepcoro_clip_tpu.utils.metrics import normalize_head_task
+
+            task = normalize_head_task(cfg.head_task.get(h, "binary"))
             if task != "multiclass":
                 p_flat = p.reshape(len(p), -1)[:, 0]
             else:

@@ -41,7 +41,7 @@ PyTree = Any
 MULTI_POSITIVE_LOSSES = {
     "siglip_pairwise", "siglip2_bce", "siglip2_bce_ddp",
     "siglip2_multi_positive", "siglip_pairwise_ddp", "weighted_siglip",
-    "multi_positive_infonce",
+    "multi_positive_infonce", "siglip_single_head",
 }
 
 

@@ -155,6 +155,20 @@ def bootstrap_ci(
     return float(point), float(lo), float(hi)
 
 
+# the reference's config vocabulary for head_task
+# (config/linear_probing/**/*.yaml uses binary_classification /
+# multiclass_classification; repo code uses the short forms)
+_TASK_ALIASES = {
+    "binary_classification": "binary",
+    "multiclass_classification": "multiclass",
+    "multi_class_classification": "multiclass",
+}
+
+
+def normalize_head_task(task: str) -> str:
+    return _TASK_ALIASES.get(task, task)
+
+
 def compute_head_metrics(
     preds: np.ndarray,
     targets: np.ndarray,
@@ -165,6 +179,7 @@ def compute_head_metrics(
 ) -> Dict[str, object]:
     """Dispatch per head task (reference _compute_heads_metrics,
     runners/linear_probing_runner.py:1249)."""
+    task = normalize_head_task(task)
     if task == "regression":
         out = regression_metrics(preds, targets)
         key = "mae"

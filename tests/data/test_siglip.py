@@ -144,3 +144,56 @@ def test_siglip_runner_end_to_end(manifests, tmp_path):
     sem = [k for k in val if k.startswith("val_semantic/")]
     assert "val_semantic/tree_recall@5" in sem
     assert all(np.isfinite(val[k]) for k in sem)
+
+
+def test_single_head_sampler_runner_end_to_end(manifests, tmp_path):
+    """siglip_sampler: single_head routes batch assembly through the
+    reference-policy SingleHeadRetrievalSampler (data/single_head_sampler.py)
+    + the siglip_single_head loss; one real training epoch must run and the
+    collated W matrix must carry sampled-negative weights."""
+    import yaml
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.registry import register_all
+    from deepcoro_clip_tpu.runners.contrastive import (
+        VideoContrastiveLearningRunner,
+    )
+
+    register_all()
+    cfg_d = dict(
+        pipeline_project="DeepCORO_clip",
+        run_mode="train",
+        data_filename=str(manifests / "videos.csv"),
+        siglip_texts_path=str(manifests / "texts.csv"),
+        siglip_edges_path=str(manifests / "edges.csv"),
+        siglip_max_positive_per_video=2,
+        siglip_negatives_per_video=2,
+        siglip_sampler="single_head",
+        siglip_round_robin_sampling=True,
+        loss_name="siglip_single_head",
+        output_dir=str(tmp_path / "out"),
+        epochs=1, batch_size=2, frames=4, resize=16, num_workers=1,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        text_dim=32, text_depth=1, text_heads=2, text_vocab_size=512,
+        max_text_length=16, embedding_dim=16, num_heads=2, aggregator_depth=1,
+        dropout=0.0, lr=1e-3, precision="fp32", use_pallas_attention=False,
+        use_wandb=False, seed=0, split_column="Split",
+    )
+    p = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg_d, p.open("w"))
+    cfg = parse_config(["--base_config", str(p)])
+    runner = VideoContrastiveLearningRunner(cfg, output_dir=tmp_path / "run")
+
+    # the collate path must produce sampler-weighted matrices
+    ds = runner.datasets["train"]
+    items = [ds[i] for i in range(2)]
+    batch = runner._collate(items)
+    pos = batch["positive_mask"]
+    w = batch["positive_weights"]
+    assert pos.shape == w.shape
+    assert (w[pos > 0] > 0).all()
+    neg_sampled = (pos == 0) & (w > 0)
+    assert neg_sampled.any()  # sampled negatives carry their own weights
+
+    result = runner.train()
+    assert np.isfinite(result["history"][0]["loss"])

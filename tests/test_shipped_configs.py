@@ -173,3 +173,77 @@ def test_caption_config_frozen_in_sync():
         f.flush()
         cfg = parse_config(["--base_config", f.name])
     assert cfg.lr == 0.002 and cfg.decoder_dim == 128
+
+
+PROBING_FAMILIES = sorted((REPO / "config" / "linear_probing").glob("*.yaml"))
+
+
+@pytest.mark.parametrize("path", PROBING_FAMILIES, ids=lambda p: p.stem)
+def test_probing_family_builds_and_steps(path):
+    """Every shipped probing family (VERDICT r3 #5: CathEF regression,
+    MACE binary, view_aware, the 90-head docker grid, ...) must assemble
+    at tiny size and run one real train step on the CPU mesh."""
+    import jax
+    import numpy as np
+
+    from deepcoro_clip_tpu.parallel import MeshSpec, make_mesh
+    from deepcoro_clip_tpu.train.linear_probe import (
+        build_probe_bundle, make_probe_train_step,
+    )
+
+    cfg = parse_config(
+        ["--base_config", str(path)] + TINY
+        + ["--vit_pool_stages", "[]", "--attention_hidden", "8",
+           "--batch_size", "2", "--num_videos", "2"]
+    )
+    mesh = make_mesh(MeshSpec(data=2, model=1))
+    bundle, state = build_probe_bundle(cfg, mesh, jax.random.PRNGKey(0))
+    assert set(bundle.head_names) == set(cfg.head_structure)
+    step = make_probe_train_step(bundle)
+    r = np.random.default_rng(0)
+    B, N = 2, cfg.num_videos
+    batch = bundle.batch_sharding_fn({
+        "videos": r.normal(size=(B, N, cfg.frames, cfg.resize,
+                                 cfg.resize, 3)).astype(np.float32),
+        "video_mask": np.ones((B, N), bool),
+        "targets": {h: r.normal(size=(B,)).astype(np.float32)
+                    for h in cfg.head_structure},
+        **({"view_ids": np.zeros((B, N), np.int32)}
+           if cfg.use_view_embeddings else {}),
+    })
+    state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                          cfg.video_freeze_ratio)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_view_labels_map_resolves_names(tmp_path):
+    """view_aware family: string view names map through view_labels_map."""
+    import numpy as np
+    import pandas as pd
+
+    from deepcoro_clip_tpu.data.datasets import VideoDataset
+
+    clips = []
+    for i in range(4):
+        p = tmp_path / f"c{i}.npy"
+        np.save(p, np.zeros((4, 8, 8, 3), np.uint8))
+        clips.append(str(p))
+    df = pd.DataFrame({
+        "FileName": clips,
+        "StudyInstanceUID": ["s0", "s0", "s1", "s1"],
+        "Split": ["train"] * 4,
+        "view_class": ["AP Caudal", "nonsense", "3", "RAO Straight"],
+        "y": [1.0, 1.0, 0.0, 0.0],
+    })
+    csv = tmp_path / "labels.csv"
+    df.to_csv(csv, sep="α", index=False)
+    ds = VideoDataset(
+        data_filename=str(csv), split="train", frames=4, resize=8,
+        multi_video=True, num_videos=2, groupby_column="StudyInstanceUID",
+        shuffle_videos=False, target_labels=["y"], view_column="view_class",
+        num_view_classes=12, view_labels_map={"AP Caudal": 1,
+                                              "RAO Straight": 11},
+    )
+    got = {tuple(ds[i]["view_ids"].tolist()) for i in range(2)}
+    # mapped name -> its id; unknown string -> PAD (12); numeric passes
+    assert got == {(1, 12), (3, 11)}
