@@ -29,20 +29,123 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 import pandas as pd
 
+# canonical vessel groupings (reference utils/vessel_constants.py:9-21 —
+# the single source both data_aggregation and clean_study_analysis import;
+# their in-file fallbacks are stale copies)
 RCA_VESSELS = ["prox_rca_stenosis", "mid_rca_stenosis", "dist_rca_stenosis"]
 NON_RCA_VESSELS = [
     "left_main_stenosis", "prox_lad_stenosis", "mid_lad_stenosis",
-    "dist_lad_stenosis", "prox_lcx_stenosis", "dist_lcx_stenosis",
+    "dist_lad_stenosis", "D1_stenosis", "D2_stenosis", "prox_lcx_stenosis",
+    "dist_lcx_stenosis", "om1_stenosis", "om2_stenosis", "bx_stenosis",
+    "lvp_stenosis",
 ]
 RIGHT_DOMINANCE_DEPENDENT_VESSELS = ["pda_stenosis", "posterolateral_stenosis"]
-LEFT_DOMINANCE_DEPENDENT_VESSELS = ["lvp_stenosis"]
-DEFAULT_VESSEL_LABELS = (
-    RCA_VESSELS + NON_RCA_VESSELS
-    + RIGHT_DOMINANCE_DEPENDENT_VESSELS + LEFT_DOMINANCE_DEPENDENT_VESSELS
-    + ["d1_stenosis", "d2_stenosis", "om1_stenosis", "om2_stenosis",
-       "ramus_stenosis"]
-)
+# the PDA fills from the left tree in left-dominant anatomy, so it is
+# dominance-dependent on BOTH sides (vessel_constants.py:16)
+LEFT_DOMINANCE_DEPENDENT_VESSELS = ["pda_stenosis", "lvp_stenosis"]
+# full label universe incl. rare grafts (reference data_aggregation.py:91-114)
+DEFAULT_VESSEL_LABELS = [
+    "left_main_stenosis", "prox_lad_stenosis", "mid_lad_stenosis",
+    "dist_lad_stenosis", "D1_stenosis", "D2_stenosis", "D3_stenosis",
+    "prox_lcx_stenosis", "dist_lcx_stenosis", "lvp_stenosis",
+    "om1_stenosis", "om2_stenosis", "om3_stenosis",
+    "prox_rca_stenosis", "mid_rca_stenosis", "dist_rca_stenosis",
+    "RVG1_stenosis", "RVG2_stenosis", "pda_stenosis",
+    "posterolateral_stenosis", "bx_stenosis", "lima_or_svg_stenosis",
+]
 SIGNIFICANT_STENOSIS_THRESHOLD = 70.0  # the clinical line (reference README)
+# structure-level vessel groupings (reference clean_study_analysis.py:61-62)
+LEFT_CORONARY_DOMINANCE_VESSELS = (
+    NON_RCA_VESSELS + LEFT_DOMINANCE_DEPENDENT_VESSELS)
+RIGHT_CORONARY_DOMINANCE_VESSELS = (
+    RCA_VESSELS + RIGHT_DOMINANCE_DEPENDENT_VESSELS)
+
+
+def is_valid(x, *, is_ifrhyper: bool = False) -> bool:
+    """A numeric reading that is not a sentinel (reference
+    data_aggregation.py:134-143): NaN and "-1" never count; for IFR
+    columns "0" is a sentinel too (an IFR of exactly zero is physically
+    meaningless — it encodes "not measured")."""
+    if pd.isna(x):
+        return False
+    if str(x) in {"-1", "-1.0"}:
+        return False
+    if is_ifrhyper and str(x) in {"0", "0.0"}:
+        return False
+    return True
+
+
+def map_calcification_value(val):
+    """French calcification category -> numeric severity 0-3 (reference
+    clean_study_analysis.py:211-254). "-1" sentinels mean NO calcification
+    (0), not missing; unmappable strings return None."""
+    if pd.isna(val):
+        return None
+    s = str(val).strip().lower()
+    if s in {"-1", "-1.0"}:
+        return 0
+    if "pas de calcification" in s:
+        return 0
+    if "minimes" in s:
+        return 1
+    if "modérées" in s or "moderees" in s:
+        return 2
+    if "importantes" in s or "bourgeon calcaire" in s:
+        return 3
+    try:
+        v = float(val)
+        return 0 if v == -1.0 else v
+    except (TypeError, ValueError):
+        return None
+
+
+def get_target_vessels_for_study(
+    dominance_name, has_left: bool, has_right: bool
+) -> List[str]:
+    """The vessels a study's analysis should cover, conditioned on BOTH
+    dominance and which coronary structures were actually filmed
+    (reference clean_study_analysis.py:175-210). Left-dominant studies
+    extend the left-coronary list with the LVP; right-dominant (the
+    default, incl. missing dominance) extend the RCA list with
+    PDA/posterolateral. A structure with no videos contributes nothing."""
+    dominance = (str(dominance_name).lower() if dominance_name
+                 else "right_dominant")
+    target: List[str] = []
+    if "left" in dominance:
+        if has_left:
+            target.extend(LEFT_CORONARY_DOMINANCE_VESSELS)
+        if has_right:
+            target.extend(RCA_VESSELS)
+    else:
+        if has_left:
+            target.extend(NON_RCA_VESSELS)
+        if has_right:
+            target.extend(RIGHT_CORONARY_DOMINANCE_VESSELS)
+    seen = set()
+    return [v for v in target if not (v in seen or seen.add(v))]
+
+
+def vessel_structure_for(vessel: str, dominance: str) -> Optional[str]:
+    """Which coronary structure's videos may predict this vessel — the
+    dominance-conditional assignment ladder (reference
+    clean_study_analysis.py:368-382). The dominance-dependent territories
+    flip sides: PDA/posterolateral are Right-Coronary targets only under
+    right dominance (else they fill from the left tree), and LVP is a
+    Left-Coronary target only under left dominance."""
+    d = (dominance or "").lower()
+    if vessel in RIGHT_DOMINANCE_DEPENDENT_VESSELS and "right" in d:
+        return "Right Coronary"
+    if vessel in LEFT_DOMINANCE_DEPENDENT_VESSELS and "left" in d:
+        return "Left Coronary"
+    if vessel in NON_RCA_VESSELS:
+        return "Left Coronary"
+    if vessel in RCA_VESSELS:
+        return "Right Coronary"
+    if vessel in RIGHT_DOMINANCE_DEPENDENT_VESSELS:
+        return "Left Coronary"
+    if vessel in LEFT_DOMINANCE_DEPENDENT_VESSELS:
+        return "Right Coronary"
+    return None
 
 
 def _dominance_side(dominance: Union[str, int, float, None]) -> str:
@@ -226,6 +329,109 @@ def compute_study_metrics(
                 np.mean(np.abs(pred_max[valid] - gt_max[valid])))
             out["stenosis"]["study_max"] = study
     return out
+
+
+def create_study_level_predictions(
+    merged_df: pd.DataFrame,
+    gt_mappings: Dict[str, Dict],
+    study_col: str = "StudyInstanceUID",
+    n_pred_cols: int = 5,
+) -> pd.DataFrame:
+    """Study-level ground truth + retrieval-derived predictions
+    (reference clean_study_analysis.py:283-460).
+
+    ``merged_df``: per-video rows carrying ``predicted_idx_1..n`` retrieval
+    indices, ``main_structure_name`` / ``dominance_name`` and per-vessel
+    label columns. ``gt_mappings``: {"stenosis"|"calcification"|"ifr":
+    {column: {text_index: value}}} — the text-bank index -> label lookup.
+
+    Derivation rules (the per-vessel label-derivation substance VERDICT r3
+    #7 names):
+    - target vessels conditioned on dominance AND available structures;
+    - GT stenosis = mean of the study's non-null values (+ count);
+    - GT calcification = severity-tie-broken mode of the FRENCH-mapped
+      values; GT IFR = mean of readings > 0.01 (sentinel filter);
+    - predictions pool only videos of the vessel's assigned structure
+      (``vessel_structure_for``), mapping each retrieved text index through
+      the gt mapping; stenosis/IFR average, calcification takes the mode.
+    """
+    if merged_df.empty:
+        return pd.DataFrame()
+    pred_cols = [f"predicted_idx_{i}" for i in range(1, n_pred_cols + 1)]
+    pred_cols = [c for c in pred_cols if c in merged_df.columns]
+    rows = []
+    for sid, g in merged_df.groupby(study_col, sort=True):
+        dom_vals = g["dominance_name"].dropna()
+        dominance = dom_vals.iloc[0] if len(dom_vals) else "right_dominant"
+        structures = g["main_structure_name"].unique()
+        has_left = "Left Coronary" in structures
+        has_right = "Right Coronary" in structures
+        targets = get_target_vessels_for_study(dominance, has_left, has_right)
+        row: Dict[str, object] = {
+            study_col: sid,
+            "dominance_name": dominance,
+            "has_left_coronary": has_left,
+            "has_right_coronary": has_right,
+            "total_videos": len(g),
+            "left_videos": int((g["main_structure_name"]
+                                == "Left Coronary").sum()),
+            "right_videos": int((g["main_structure_name"]
+                                 == "Right Coronary").sum()),
+            "target_vessel_count": len(targets),
+        }
+        for v in targets:
+            if v in g.columns:
+                valid = g[v].dropna()
+                row[f"gt_{v}"] = (float(valid.mean()) if len(valid)
+                                  else np.nan)
+                row[f"gt_{v}_count"] = int(len(valid))
+            base = v.replace("_stenosis", "")
+            ccol = f"{base}_calcif"
+            if ccol in g.columns:
+                mapped = [map_calcification_value(x)
+                          for x in g[ccol].dropna().tolist()]
+                row[f"gt_{ccol}"] = calcification_mode_with_fallback(mapped)
+                row[f"gt_{ccol}_count"] = len(
+                    [m for m in mapped if m is not None])
+            icol = f"{base}_IFRHYPER"
+            if icol in g.columns:
+                valid = g[icol].dropna()
+                valid = valid[valid > 0.01]
+                row[f"gt_{icol}"] = (float(valid.mean()) if len(valid)
+                                     else np.nan)
+                row[f"gt_{icol}_count"] = int(len(valid))
+        for v in targets:
+            base = v.replace("_stenosis", "")
+            structure = vessel_structure_for(v, str(dominance))
+            vids = (g[g["main_structure_name"] == structure]
+                    if structure else g)
+            idxs: List[int] = []
+            for c in pred_cols:
+                if c in vids.columns:
+                    idxs.extend(int(x) for x in vids[c].dropna())
+            if v in gt_mappings.get("stenosis", {}):
+                m = gt_mappings["stenosis"][v]
+                vals = [m[i] for i in idxs if i in m and pd.notna(m[i])]
+                row[f"pred_{v}"] = float(np.mean(vals)) if vals else np.nan
+                row[f"pred_{v}_count"] = len(vals)
+            ccol = f"{base}_calcif"
+            if ccol in gt_mappings.get("calcification", {}):
+                m = gt_mappings["calcification"][ccol]
+                vals = [map_calcification_value(m[i])
+                        for i in idxs if i in m and pd.notna(m[i])]
+                vals = [x for x in vals if x is not None]
+                row[f"pred_{ccol}"] = (calcification_mode_with_fallback(vals)
+                                       if vals else np.nan)
+                row[f"pred_{ccol}_count"] = len(vals)
+            icol = f"{base}_IFRHYPER"
+            if icol in gt_mappings.get("ifr", {}):
+                m = gt_mappings["ifr"][icol]
+                vals = [m[i] for i in idxs
+                        if i in m and pd.notna(m[i]) and m[i] > 0.01]
+                row[f"pred_{icol}"] = float(np.mean(vals)) if vals else np.nan
+                row[f"pred_{icol}_count"] = len(vals)
+        rows.append(row)
+    return pd.DataFrame(rows)
 
 
 def find_epoch_prediction_files(run_dir: str | Path,
