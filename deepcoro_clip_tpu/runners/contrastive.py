@@ -689,6 +689,19 @@ class VideoContrastiveLearningRunner:
                 ],
                 title=f"{split} retrieval epoch {epoch}",
             )
+            # best/worst VIDEO panels (animated GIF + PNG grid; reference
+            # wandb_logger.log_best_worst_retrievals:625-807)
+            from deepcoro_clip_tpu.utils.qualitative import (
+                log_best_worst_retrievals,
+            )
+
+            log_best_worst_retrievals(
+                sim, paths or [""] * len(v_emb), unique_texts,
+                [ids[0] for ids in pos_ids], epoch, art,
+                logger=self.logger,
+                ground_truth_texts=[[unique_texts[j] for j in ids]
+                                    for ids in pos_ids],
+            )
         return metrics
 
     # ------------------------------------------------------------------ #

@@ -54,6 +54,25 @@ class MetricsLogger:
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(metrics, step=step)
 
+    def log_media(self, key: str, path: str | Path,
+                  step: Optional[int] = None, kind: str = "image") -> None:
+        """Media panel logging (reference wandb_wrapper media path,
+        utils/wandb_logger.py:807-906): records the artifact path in
+        metrics.jsonl always; mirrors as a real wandb.Image/Video when a
+        wandb run is active."""
+        if not self.is_ref:
+            return
+        self.log({key: str(path)}, step=step)
+        if self._wandb is not None:  # pragma: no cover - wandb absent here
+            try:
+                import wandb
+
+                media = (wandb.Video(str(path)) if kind == "video"
+                         else wandb.Image(str(path)))
+                self._wandb.log({key: media}, step=step)
+            except Exception:
+                pass
+
     def finish(self) -> None:
         if self._file:
             self._file.close()

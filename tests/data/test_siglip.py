@@ -197,3 +197,7 @@ def test_single_head_sampler_runner_end_to_end(manifests, tmp_path):
 
     result = runner.train()
     assert np.isfinite(result["history"][0]["loss"])
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -243,3 +243,7 @@ def test_nonfinite_loss_applies_no_update(mesh):
             continue  # step counters may advance; only moments must hold
         np.testing.assert_array_equal(b, a)
     assert int(state2.step) == step_before + 1
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -112,3 +112,7 @@ def test_resume_from_checkpoint(trained, workspace):
     start = runner.maybe_resume()
     assert start == 2  # trained 2 epochs already
     assert int(np.asarray(runner.state.step)) > 0
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

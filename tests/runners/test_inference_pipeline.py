@@ -81,3 +81,7 @@ def test_encode_texts_batches(trained_runner):
     e2 = runner._encode_texts(texts, batch_size=16)
     assert e1.shape == (70, 16)
     np.testing.assert_allclose(e1, e2, rtol=1e-4, atol=1e-5)
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

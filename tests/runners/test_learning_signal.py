@@ -63,3 +63,6 @@ def test_training_beats_chance_retrieval(class_dataset, tmp_path):
     # MedianRank = 4.5; a class-level video representation halves it
     assert last["val_MedianRank"] <= 3.0, result["history"]
     assert last["val_Recall@2"] >= 0.375, result["history"]
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -126,3 +126,7 @@ def test_inference_embeddings(workspace, trained):
     assert emb["embeddings"].shape[0] == 2
     # attention+cls_token hybrid: embedding dim is 2*D (reference :192-201)
     assert emb["embeddings"].shape[1] == 32
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -65,3 +65,7 @@ def test_mono_wire_trains_end_to_end(workspace):
     assert run_dirs, "resolved config backup missing"
     resolved = yaml.safe_load(run_dirs[-1].read_text())
     assert resolved["mono_wire"] is True
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -4,6 +4,7 @@ positive only (round-1 VERDICT weak #5)."""
 
 from pathlib import Path
 
+import pytest
 import numpy as np
 
 from deepcoro_clip_tpu.runners.contrastive import VideoContrastiveLearningRunner
@@ -49,3 +50,7 @@ def test_single_positive_unchanged(tmp_path):
     r = _runner(tmp_path, text_embs)
     m = r._retrieval_eval(v_emb, [["A"], ["B"]], epoch=0, split="val")
     assert m["Recall@1"] == 0.5
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

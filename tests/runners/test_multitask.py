@@ -265,3 +265,7 @@ def test_multitask_early_stopping(workspace, tmp_path):
         config, output_dir=str(tmp_path / "out"))
     result = runner.train()
     assert len(result["history"]) <= 4  # 1 best + 2 patience + margin
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

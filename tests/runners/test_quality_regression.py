@@ -5,6 +5,7 @@ fix (backbone now trains at ratio 0.0): R@1 ~0.34, R@5 ~0.92,
 MedianRank 2 over ~36 unique texts (chance R@1 ~0.03); thresholds
 leave a >2x margin. ~2-3 min on the CPU backend."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -20,3 +21,7 @@ def test_synthetic_corpus_retrieval_above_chance():
     assert res["R@1"] >= max(0.15, 4 * chance), res
     assert res["R@5"] >= 0.6, res
     assert res["median_rank"] <= 5, res
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

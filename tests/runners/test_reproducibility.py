@@ -100,3 +100,7 @@ def test_embeddings_invariant_to_shard_count(runner_factory):
         )
         got = _embeddings(runner)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -21,3 +21,7 @@ def test_example_runs(script):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -102,3 +102,7 @@ def test_dicom_to_npy_without_pydicom(tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "pydicom", None)
     # import of None raises ImportError -> graceful None
     assert dicom_to_npy((str(tmp_path / "x.dcm"), str(tmp_path))) is None
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

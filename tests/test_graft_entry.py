@@ -9,6 +9,7 @@ the same subprocess command so a regression fails CI, not the scoreboard.
 
 from __future__ import annotations
 
+import pytest
 import os
 import subprocess
 import sys
@@ -66,3 +67,7 @@ def test_ensure_devices_respects_preinitialized_backend():
     proc = _run_fresh(code)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ok" in proc.stdout
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -157,3 +157,7 @@ def test_siglip_report_reconstruction_orders_severe_first(tmp_path):
     assert rep == ("critical left main stenosis. moderate mid rca lesion. "
                    "mild lesion in om1.")
     assert res.build_report_from_positives("nope") == "No findings."
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

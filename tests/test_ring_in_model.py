@@ -74,3 +74,7 @@ def test_ring_guard_skips_indivisible_token_counts():
                          "dropout": jax.random.PRNGKey(0)}, x)
     out = model.apply(params, x, deterministic=True)
     assert np.isfinite(np.asarray(out)).all()
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

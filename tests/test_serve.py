@@ -190,3 +190,7 @@ def test_padded_batch_matches_unpadded_single(server):
     emb2, _, _ = engine.infer_batch(both, masks)
     np.testing.assert_allclose(emb1[0], emb2[0], rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(emb2[0], emb2[1], rtol=2e-5, atol=2e-5)
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

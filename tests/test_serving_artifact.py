@@ -301,3 +301,7 @@ def test_serve_from_artifact(artifact, tmp_path):
         assert scores == sorted(scores, reverse=True)
     finally:
         httpd.shutdown()
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

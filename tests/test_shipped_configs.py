@@ -247,3 +247,7 @@ def test_view_labels_map_resolves_names(tmp_path):
     got = {tuple(ds[i]["view_ids"].tolist()) for i in range(2)}
     # mapped name -> its id; unknown string -> PAD (12); numeric passes
     assert got == {(1, 12), (3, 11)}
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

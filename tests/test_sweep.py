@@ -110,3 +110,7 @@ def test_random_sweep_end_to_end(tmp_path):
     score = run_trial(str(bp), {"lr": 1e-3}, tmp_path / "trial_000",
                       "val/loss", "min")
     assert score is not None and np.isfinite(score)
+
+# trainer-loop / e2e compile tests: minutes each on the 1-core CPU
+# harness — excluded from the fast default path (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -39,3 +39,51 @@ def test_report_embeds_media_from_paths(tmp_path):
 
 def test_load_clip_media_missing_is_none(tmp_path):
     assert load_clip_media(str(tmp_path / "nope.npy")) is None
+
+
+def test_clip_to_gif_b64_roundtrip():
+    import base64
+
+    from deepcoro_clip_tpu.utils.qualitative import clip_to_gif_b64
+
+    clip = np.random.default_rng(0).integers(
+        0, 255, size=(8, 24, 24, 3)).astype(np.uint8)
+    b64 = clip_to_gif_b64(clip, fps=4)
+    assert b64
+    raw = base64.b64decode(b64)
+    assert raw[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_log_best_worst_retrievals_writes_panels(tmp_path):
+    from deepcoro_clip_tpu.utils.qualitative import log_best_worst_retrievals
+
+    r = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"clip{i}.npy"
+        np.save(p, r.integers(0, 255, size=(6, 16, 16, 3)).astype(np.uint8))
+        paths.append(str(p))
+    sim = r.normal(size=(6, 4)).astype(np.float32)
+    texts = [f"text {j}" for j in range(4)]
+    gt = [0, 1, 2, 3, 0, 1]
+
+    class _Log:
+        def __init__(self):
+            self.media = []
+
+        def log_media(self, key, path, step=None, kind="image"):
+            self.media.append((key, str(path), step))
+
+    logger = _Log()
+    written = log_best_worst_retrievals(
+        sim, paths, texts, gt, epoch=3, out_dir=tmp_path / "panels",
+        logger=logger, num_examples=2,
+    )
+    assert set(written) >= {"best_html", "worst_html", "best_grid",
+                            "worst_grid"}
+    for p in written.values():
+        assert p.exists() and p.stat().st_size > 0
+    html = written["best_html"].read_text()
+    assert "image/gif" in html  # playable video panels, not static frames
+    assert {k for k, _, _ in logger.media} == {
+        "qualitative/best_grid", "qualitative/worst_grid"}
