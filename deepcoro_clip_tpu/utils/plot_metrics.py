@@ -323,6 +323,71 @@ def plot_categorical_trends(
     return Path(out)
 
 
+def plot_stenosis_predictions_for_study(
+    agg_df, study: str, vessel_labels: Optional[Sequence[str]] = None,
+    study_col: str = "StudyInstanceUID",
+    out: str | Path = "stenosis_predictions.png",
+    title_suffix: str = "",
+):
+    """One study's predicted vs ground-truth stenosis as grouped bars per
+    vessel (reference plot_stenosis_predictions_for_file :729 /
+    display_stenosis_predictions_for_file :687), from a frame carrying
+    ``pred_<vessel>`` / ``gt_<vessel>`` columns
+    (data/study_analysis.create_study_level_predictions output)."""
+    from deepcoro_clip_tpu.data.study_analysis import DEFAULT_VESSEL_LABELS
+
+    row = agg_df[agg_df[study_col] == study]
+    if row.empty:
+        return None
+    row = row.iloc[0]
+    vessel_labels = list(vessel_labels or DEFAULT_VESSEL_LABELS)
+    names, preds, gts = [], [], []
+    for v in vessel_labels:
+        p, g = row.get(f"pred_{v}"), row.get(f"gt_{v}")
+        if p is None and g is None:
+            continue
+        if (p is None or (isinstance(p, float) and np.isnan(p))) and \
+                (g is None or (isinstance(g, float) and np.isnan(g))):
+            continue
+        names.append(v.replace("_stenosis", ""))
+        preds.append(np.nan if p is None else float(p))
+        gts.append(np.nan if g is None else float(g))
+    if not names:
+        return None
+    x = np.arange(len(names))
+    fig, ax = plt.subplots(figsize=(max(6, 0.6 * len(names)), 4))
+    ax.bar(x - 0.2, gts, width=0.4, label="ground truth")
+    ax.bar(x + 0.2, preds, width=0.4, label="predicted")
+    ax.axhline(70, color="r", ls="--", lw=1, label="70% line")
+    ax.set_xticks(x)
+    ax.set_xticklabels(names, rotation=60, ha="right", fontsize=8)
+    ax.set_ylabel("stenosis %")
+    ax.set_title(f"{study}{(' — ' + title_suffix) if title_suffix else ''}")
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3, axis="y")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)
+
+
+def save_plots_to_files(output_dir: str | Path,
+                        plots_subdir: str = "plots") -> List[Path]:
+    """Flush every currently open matplotlib figure to numbered PNGs under
+    ``output_dir/plots_subdir`` and close them (reference
+    save_plots_to_files :2127)."""
+    out = Path(output_dir) / plots_subdir
+    out.mkdir(parents=True, exist_ok=True)
+    written = []
+    for num in plt.get_fignums():
+        fig = plt.figure(num)
+        p = out / f"figure_{num:03d}.png"
+        fig.savefig(p, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        written.append(p)
+    return written
+
+
 def plot_grad_norms(run_dir: str | Path, out: Optional[str | Path] = None):
     """Per-module gradient-norm curves from the step metrics (reference
     log_gradient_norms, utils/wandb_logger.py:491-510)."""

@@ -106,3 +106,37 @@ def test_run_summary_includes_trajectory(trajectory, tmp_path):
     names = {p.name for p in outs}
     assert "multi_epoch_metrics.png" in names
     assert "combined_performance.png" in names
+
+
+def test_plot_stenosis_predictions_for_study(tmp_path):
+    import pandas as pd
+
+    from deepcoro_clip_tpu.utils.plot_metrics import (
+        plot_stenosis_predictions_for_study,
+    )
+
+    df = pd.DataFrame([{
+        "StudyInstanceUID": "S1",
+        "pred_prox_rca_stenosis": 65.0, "gt_prox_rca_stenosis": 80.0,
+        "pred_mid_lad_stenosis": 20.0, "gt_mid_lad_stenosis": 10.0,
+    }])
+    out = plot_stenosis_predictions_for_study(
+        df, "S1", out=tmp_path / "bars.png", title_suffix="epoch 3")
+    assert out is not None and out.exists() and out.stat().st_size > 0
+    assert plot_stenosis_predictions_for_study(
+        df, "MISSING", out=tmp_path / "x.png") is None
+
+
+def test_save_plots_to_files(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from deepcoro_clip_tpu.utils.plot_metrics import save_plots_to_files
+
+    plt.figure(); plt.plot([1, 2])
+    plt.figure(); plt.plot([2, 1])
+    written = save_plots_to_files(tmp_path)
+    assert len(written) == 2 and all(p.exists() for p in written)
+    assert not plt.get_fignums()
