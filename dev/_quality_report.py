@@ -195,6 +195,37 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 f"| {pair} |"
             )
         lines.append("")
+        # primary-recipe spread: mean±sd at the LAST COMMON epoch across the
+        # 12-head seeds (geometry variants excluded — they answer a different
+        # question). VERDICT r3 weak #1/#2: quality claims must quantify the
+        # seed spread, not headline the best seed.
+        prim_runs = {s: r for s, r in runs.items()
+                     if "-head text)" not in str(s)}
+        if len(prim_runs) >= 2:
+            common_e = min(len(r["train"]["history"])
+                           for r in prim_runs.values()) - 1
+            at_common = {s: r["train"]["history"][common_e]
+                         .get("val_Recall@1") for s, r in prim_runs.items()}
+            vals = [v for v in at_common.values() if v is not None]
+            mean = sum(vals) / len(vals)
+            sd = (sum((v - mean) ** 2 for v in vals)
+                  / max(len(vals) - 1, 1)) ** 0.5
+            best_vals = [max((x.get("val_Recall@1", 0.0)
+                              for x in r["train"]["history"]), default=0.0)
+                         for r in prim_runs.values()]
+            bmean = sum(best_vals) / len(best_vals)
+            bsd = (sum((v - bmean) ** 2 for v in best_vals)
+                   / max(len(best_vals) - 1, 1)) ** 0.5
+            lines += [
+                f"**Primary-recipe spread (n={len(vals)} seeds):** R@1 at "
+                f"the last common epoch (e{common_e}) = "
+                f"**{mean:.3f} ± {sd:.3f}** (mean ± sd); best-epoch R@1 = "
+                f"{bmean:.3f} ± {bsd:.3f}. Any single-run comparison smaller "
+                f"than ~2 sd (≈{2 * sd:.3f}) is not distinguishable from "
+                "seed noise at this n — the geometry read below is stated "
+                "against this spread.",
+                "",
+            ]
         # Extended-horizon convergence: a non-primary seed trained past the
         # primary's schedule answers "where does R@1 plateau?" (VERDICT r2
         # #4) without retraining the primary (its checkpoints predate a VM
@@ -226,29 +257,37 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 "",
             ]
         if any("-head text)" in str(s) for s in runs):
-            # A geometry-variant row exists: keep the neutrality read with it
-            # (this paragraph was measured in round 3; regenerating the report
-            # must not silently drop the conclusion).
+            # A geometry-variant row exists: state the neutrality read
+            # AGAINST the measured cross-seed spread (VERDICT r3 weak #1:
+            # a one-run-per-arm delta smaller than seed noise must not
+            # drive recipe conclusions).
             lines += [
                 "**Geometry-neutrality read (6-head row):** the throughput "
                 "geometry",
                 "(6 heads x Dh=128 text tower, same parameter count, the "
                 "flagship bench",
                 "default since round 3) was trained with the "
-                "otherwise-identical recipe.",
-                "R@5 (0.865 vs 0.871) and MedianRank (2.0) match the primary "
-                "run, but",
-                "best R@1 lands 0.035 lower (0.359 vs 0.394) — larger than "
-                "the ~±0.02",
-                "per-epoch jitter, so the head-geometry flip is NOT free on "
-                "this",
-                "synthetic task at R@1. Consequence: the published quality "
-                "recipe stays",
-                "pinned at 12 x Dh=64 (`config/quality/*.yaml`); the 6-head "
-                "geometry is",
-                "the *throughput* configuration and its cost is documented "
-                "here rather",
-                "than hidden.",
+                "otherwise-identical recipe",
+                "and paired init (same seed as the primary run). R@5 and "
+                "MedianRank match",
+                "the primary; best R@1 lands 0.035 lower (0.359 vs 0.394). "
+                "With the",
+                "primary-recipe cross-seed spread now measured above, this "
+                "single paired",
+                "comparison is WITHIN the observed seed noise (cross-seed "
+                "best-R@1 spread",
+                "is of the same magnitude), so the flip is *not shown* to "
+                "cost R@1 — nor",
+                "shown to be free; n=1 per arm cannot separate a ~0.035 "
+                "effect from this",
+                "spread. Decision unchanged on risk grounds: the published "
+                "quality recipe",
+                "stays pinned at 12 x Dh=64 (`config/quality/*.yaml`, the "
+                "published",
+                "artifact's geometry); the 6-head geometry remains the "
+                "*throughput*",
+                "configuration. Settling it needs 3-4 paired seeds per arm "
+                "(~1 chip-day).",
                 "",
             ]
         if any("(mono wire)" in str(s) for s in runs):
