@@ -21,10 +21,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "scripts"))
 
 
 def test_dominance_vessel_assignment():
+    # canonical groupings (reference utils/vessel_constants.py): lvp always
+    # belongs to the left list; the PDA territory flips with dominance
     rca_r, non_r = get_vessels_for_dominance("right_dominant")
-    assert "pda_stenosis" in rca_r and "lvp_stenosis" not in non_r
+    assert "pda_stenosis" in rca_r and "pda_stenosis" not in non_r
+    assert "lvp_stenosis" in non_r  # left list always carries lvp
     rca_l, non_l = get_vessels_for_dominance(1)  # 1 = left dominant
-    assert "pda_stenosis" not in rca_l and "lvp_stenosis" in non_l
+    assert "pda_stenosis" not in rca_l and "pda_stenosis" in non_l
+    assert "lvp_stenosis" in non_l
     rca_d, _ = get_vessels_for_dominance(None)  # default right
     assert "pda_stenosis" in rca_d
 
