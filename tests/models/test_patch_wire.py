@@ -193,3 +193,7 @@ def test_missing_grid_raises():
              "dropout": jax.random.PRNGKey(0)},
             jnp.asarray(patched),
         )
+
+# multi-second jit-compile tests on the CPU harness: fast-path
+# excluded (pass --runslow)
+pytestmark = pytest.mark.slow

@@ -92,3 +92,7 @@ def test_rdma_ring_single_device():
     want = multi_head_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+# multi-second jit-compile tests on the CPU harness: fast-path
+# excluded (pass --runslow)
+pytestmark = pytest.mark.slow
