@@ -120,6 +120,28 @@ def make_probe_optimizer(cfg, schedule, params):
     return optax.multi_transform(transforms, labels)
 
 
+def _merge_encoder_params(new: PyTree, old: PyTree) -> PyTree:
+    """Partial weight transfer by matching key paths: subtrees present in
+    BOTH the probing encoder and the checkpoint transfer; probing-only
+    subtrees keep their fresh init. The CLIP encoder carries an
+    ``aggregator`` the probing encoder lacks, and the probing per-video
+    pooling head (``pool``) does not exist in the CLIP tree — a strict
+    tree_map would reject the transplant outright (the reference's loader
+    is similarly non-strict: projects/linear_probing_project.py:516-544
+    repairs prefixes and loads what matches)."""
+    if isinstance(new, dict) and isinstance(old, dict):
+        return {
+            k: (_merge_encoder_params(v, old[k]) if k in old else v)
+            for k, v in new.items()
+        }
+    if isinstance(new, dict) or isinstance(old, dict):
+        return new  # structural mismatch below a shared key: keep fresh init
+    arr = np.asarray(old, np.asarray(new).dtype)
+    if arr.shape != np.asarray(new).shape:
+        return new  # shape mismatch (different geometry): keep fresh init
+    return arr
+
+
 def build_probe_bundle(
     cfg, mesh: Mesh, rng: jax.Array, steps_per_epoch: int = 100,
     encoder_params: Optional[PyTree] = None,
@@ -142,9 +164,7 @@ def build_probe_bundle(
     vvars = video_model.init({"params": rv, "dropout": rd}, videos)
     vparams, vspec = unbox_with_spec(vvars["params"])
     if encoder_params is not None:
-        vparams = jax.tree_util.tree_map(
-            lambda new, old: np.asarray(old, new.dtype), vparams, encoder_params
-        )
+        vparams = _merge_encoder_params(vparams, encoder_params)
 
     emb = video_model.apply({"params": vparams}, videos, deterministic=True)
     if cfg.hierarchical_tokens:

@@ -130,3 +130,81 @@ def test_inference_embeddings(workspace, trained):
 # trainer-loop / e2e compile tests: minutes each on the 1-core CPU
 # harness — excluded from the fast default path (pass --runslow)
 pytestmark = pytest.mark.slow
+
+
+def test_probe_loads_clip_checkpoint_encoder(tmp_path):
+    """The quality-run probe stage loads a CLIP run's best checkpoint into
+    the probing encoder (video_encoder_checkpoint_path) — the transfer must
+    deliver the CLIP run's video-encoder weights, not a fresh init."""
+    import jax
+
+    from deepcoro_clip_tpu.configs.parser import parse_config
+    from deepcoro_clip_tpu.runners.contrastive import (
+        VideoContrastiveLearningRunner,
+    )
+    from deepcoro_clip_tpu.runners.linear_probing import LinearProbingRunner
+
+    r = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"c{i}.npy"
+        np.save(p, r.integers(0, 255, size=(4, 32, 32, 3)).astype(np.uint8))
+        rows.append({"FileName": str(p), "Report": f"text about {i % 4}",
+                     "StudyInstanceUID": f"S{i}",
+                     "Split": "train" if i < 6 else "val",
+                     "stenosis": float(i * 10)})
+    csv = tmp_path / "data.csv"
+    pd.DataFrame(rows).to_csv(csv, sep="α", index=False)
+
+    common = dict(
+        frames=4, resize=32, batch_size=2, num_workers=1,
+        vit_dim=32, vit_depth=1, vit_heads=1, vit_patch=[2, 16, 16],
+        embedding_dim=16, num_heads=2, aggregator_depth=1, dropout=0.0,
+        precision="fp32", use_pallas_attention=False, use_wandb=False,
+        seed=0,
+    )
+    clip_cfg = dict(
+        pipeline_project="DeepCORO_clip", run_mode="train",
+        data_filename=str(csv), output_dir=str(tmp_path / "clip_out"),
+        epochs=1, multi_video=False, max_text_length=16,
+        text_dim=32, text_depth=1, text_heads=2, text_vocab_size=128,
+        lr=1e-3, **common,
+    )
+    p1 = tmp_path / "clip.yaml"
+    yaml.safe_dump(clip_cfg, p1.open("w"))
+    cfg = parse_config(["--base_config", str(p1)])
+    runner = VideoContrastiveLearningRunner(cfg, output_dir=tmp_path / "cr")
+    runner.train()
+    ckpts = runner.ckpt
+    best = ckpts.find_best() or "checkpoint"
+    ckpt_path = tmp_path / "cr" / "checkpoints" / best
+    assert ckpt_path.exists()
+    clip_enc_tree = jax.device_get(runner.state.params["video_encoder"])
+
+    probe_cfg = dict(
+        pipeline_project="DeepCORO_video_linear_probing", run_mode="train",
+        data_filename=str(csv), output_dir=str(tmp_path / "probe_out"),
+        epochs=1, multi_video=True, num_videos=1,
+        head_structure={"stenosis": 1},
+        loss_structure={"stenosis": "huber"},
+        head_task={"stenosis": "regression"},
+        pooling_mode="attention", attention_hidden=8,
+        video_encoder_checkpoint_path=str(ckpt_path),
+        video_freeze_ratio=1.0, lr=1e-3, ci_n_bootstrap=5,
+        **common,
+    )
+    p2 = tmp_path / "probe.yaml"
+    yaml.safe_dump(probe_cfg, p2.open("w"))
+    pcfg = parse_config(["--base_config", str(p2)])
+    prunner = LinearProbingRunner(pcfg, output_dir=tmp_path / "pr")
+    probe_enc_tree = jax.device_get(prunner.state.params["video_encoder"])
+    # the shared subtrees (backbone, proj) must transfer EXACTLY; the
+    # CLIP-only aggregator and the probing-only per-video pool do not exist
+    # on the other side (partial transplant, reference :516-544 semantics)
+    for sub in ("backbone", "proj"):
+        a = jax.tree_util.tree_leaves(clip_enc_tree[sub])
+        b = jax.tree_util.tree_leaves(probe_enc_tree[sub])
+        assert len(a) == len(b) and len(a) > 0
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert "pool" in probe_enc_tree and "aggregator" not in probe_enc_tree
