@@ -147,6 +147,16 @@ def _write_train_config():
         temperature=fc.temperature, optimizer=fc.optimizer,
         precision=fc.precision, use_pallas_attention=fc.use_pallas_attention,
     )
+    # DEEPCORO_QR_REUSE_STATS=<checkpoint.json>: reuse another run's
+    # resolved dataset stats (exact when both runs read the same corpus on
+    # the same wire — e.g. the study-mode run over the s2 clips), skipping
+    # the fresh-run 6000-clip stats scan on this 1-core host (~15 min).
+    reuse = os.environ.get("DEEPCORO_QR_REUSE_STATS")
+    if reuse and Path(reuse).exists():
+        meta = json.loads(Path(reuse).read_text())
+        if meta.get("dataset_mean"):
+            over["dataset_mean"] = meta["dataset_mean"]
+            over["dataset_std"] = meta["dataset_std"]
     cfg_path = RUN_DIR / "train_config.yaml"
     RUN_DIR.mkdir(parents=True, exist_ok=True)
     yaml.safe_dump(over, cfg_path.open("w"))
