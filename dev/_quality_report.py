@@ -365,10 +365,13 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
         ]
         for s in sorted(probes):
             pj = probes[s]
+            backbone = Path(str(pj.get("backbone_checkpoint", ""))).name \
+                or "best"
             lines += [
-                f"Backbone: seed {s} best checkpoint "
-                f"(`{pj.get('best_checkpoint')}`), {pj.get('epochs')} probe "
-                f"epochs, {pj.get('n_val')} unseen val videos.",
+                f"Backbone: seed {s} frozen CLIP checkpoint `{backbone}`; "
+                f"probe heads trained ≤{pj.get('epochs')} epochs (best head "
+                f"checkpoint `{pj.get('best_checkpoint')}`), evaluated on "
+                f"{pj.get('n_val')} unseen val videos.",
                 "",
                 "| head | task | prevalence | AUROC / MAE | 95% CI "
                 "| shuffled floor (mean, p97.5) | clears floor |",

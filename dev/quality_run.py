@@ -714,6 +714,8 @@ def stage_probe_eval():
     from deepcoro_clip_tpu.utils.metrics import compute_head_metrics
 
     out = {"best_checkpoint": best, "epochs": PROBE_EPOCHS,
+           "backbone_checkpoint": str(runner.config
+                                      .video_encoder_checkpoint_path),
            "n_val": int(len(preds)), "heads": {}}
     for c in cols:
         p = preds[f"{c}_pred"].to_numpy(np.float32)
