@@ -210,19 +210,26 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
             mean = sum(vals) / len(vals)
             sd = (sum((v - mean) ** 2 for v in vals)
                   / max(len(vals) - 1, 1)) ** 0.5
-            best_vals = [max((x.get("val_Recall@1", 0.0)
+            # best-epoch spread over COMPLETED runs only (a partial seed's
+            # best would still rise with more epochs — including it would
+            # overstate the spread)
+            full_len = max(len(r["train"]["history"])
+                           for r in prim_runs.values())
+            best_vals = [max((x.get("val_Recall@1") or 0.0
                               for x in r["train"]["history"]), default=0.0)
-                         for r in prim_runs.values()]
-            bmean = sum(best_vals) / len(best_vals)
+                         for r in prim_runs.values()
+                         if len(r["train"]["history"]) >= 0.9 * full_len]
+            bmean = sum(best_vals) / max(len(best_vals), 1)
             bsd = (sum((v - bmean) ** 2 for v in best_vals)
                    / max(len(best_vals) - 1, 1)) ** 0.5
             lines += [
-                f"**Primary-recipe spread (n={len(vals)} seeds):** R@1 at "
-                f"the last common epoch (e{common_e}) = "
-                f"**{mean:.3f} ± {sd:.3f}** (mean ± sd); best-epoch R@1 = "
-                f"{bmean:.3f} ± {bsd:.3f}. Any single-run comparison smaller "
-                f"than ~2 sd (≈{2 * sd:.3f}) is not distinguishable from "
-                "seed noise at this n — the geometry read below is stated "
+                f"**Primary-recipe spread:** R@1 at the last common epoch "
+                f"(e{common_e}, n={len(vals)} seeds with per-epoch data) = "
+                f"**{mean:.3f} ± {sd:.3f}** (mean ± sd); best-epoch R@1 "
+                f"over the n={len(best_vals)} completed runs = "
+                f"{bmean:.3f} ± {bsd:.3f}. Any single-run comparison "
+                f"smaller than ~2 sd is not distinguishable from seed "
+                "noise at these n — the geometry read below is stated "
                 "against this spread.",
                 "",
             ]
