@@ -70,6 +70,10 @@ class BaseConfig:
     base_checkpoint_path: str = "outputs"
     checkpoint: Optional[str] = None
     resume_training: bool = False
+    # params-only warm start from another run's checkpoint (optimizer/step
+    # state stay fresh — unlike resume_training). The reference's pretrained
+    # initialization role (checkpoint loading into towers before training).
+    init_from_checkpoint: Optional[str] = None
 
     # wandb-compatible experiment identity (logging backend is pluggable)
     name: str = "deepcoro_clip_tpu"

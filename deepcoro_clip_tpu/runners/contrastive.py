@@ -48,6 +48,28 @@ from deepcoro_clip_tpu.utils.retrieval_metrics import (
 )
 
 
+def _load_checkpoint_params(path: str):
+    """Raw params tree out of a saved run checkpoint (layout written by
+    train/checkpoint.CheckpointManager)."""
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(Path(path).resolve())
+    return restored.get("params", restored)
+
+
+def _merge_params_by_path(new, old):
+    """Leaf-for-leaf transplant where key paths AND shapes match; fresh init
+    elsewhere (same non-strict semantics as the probing encoder loader,
+    train/linear_probe._merge_encoder_params)."""
+    if isinstance(new, dict) and isinstance(old, dict):
+        return {k: (_merge_params_by_path(v, old[k]) if k in old else v)
+                for k, v in new.items()}
+    if isinstance(new, dict) or isinstance(old, dict):
+        return new
+    arr = np.asarray(old)
+    return arr if arr.shape == np.asarray(new).shape else new
+
+
 class NonFiniteLossError(RuntimeError):
     """Reference: runners/video_constrative_learning_runner_simple.py:44-51."""
 
@@ -85,6 +107,18 @@ class VideoContrastiveLearningRunner:
             config, self.mesh, jax.random.PRNGKey(config.seed),
             steps_per_epoch=steps_per_epoch,
         )
+        if getattr(config, "init_from_checkpoint", None):
+            # params-only warm start (fresh optimizer/schedule): partial
+            # by-path merge so a checkpoint from a sibling pipeline (e.g.
+            # single-video -> study mode) transplants every matching leaf,
+            # re-placed under this run's shardings
+            merged = _merge_params_by_path(
+                jax.device_get(self.state.params),
+                _load_checkpoint_params(config.init_from_checkpoint))
+            params = jax.tree_util.tree_map(
+                lambda old, new: jax.device_put(np.asarray(new), old.sharding),
+                self.state.params, merged)
+            self.state = self.state.replace(params=params)
         self.train_step = clip_train.make_train_step(self.bundle)
         self.eval_step = clip_train.make_eval_step(self.bundle)
         self._text_encode = jax.jit(

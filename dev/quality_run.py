@@ -157,6 +157,13 @@ def _write_train_config():
         if meta.get("dataset_mean"):
             over["dataset_mean"] = meta["dataset_mean"]
             over["dataset_std"] = meta["dataset_std"]
+    # DEEPCORO_QR_INIT_FROM=<checkpoint dir>: params-only warm start (e.g.
+    # study-mode adaptation from a single-video backbone — from-scratch
+    # study mode at short schedules pins at the ln(B) plateau, measured
+    # r4; see QUALITY.md study-mode section)
+    init_from = os.environ.get("DEEPCORO_QR_INIT_FROM")
+    if init_from:
+        over["init_from_checkpoint"] = init_from
     cfg_path = RUN_DIR / "train_config.yaml"
     RUN_DIR.mkdir(parents=True, exist_ok=True)
     yaml.safe_dump(over, cfg_path.open("w"))
