@@ -178,9 +178,17 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
         ]
         for seed in sorted(runs):
             h = runs[seed]["train"]["history"]
-            best_r1 = max((x.get("val_Recall@1", 0.0) for x in h), default=0.0)
-            last = h[-1] if h else {}
-            if h:
+            best_r1 = max((x.get("val_Recall@1") or 0.0 for x in h),
+                          default=0.0)
+            # a chunked run killed mid-validation leaves a trailing epoch
+            # with train metrics only — report the last VALIDATED epoch
+            vh = [x for x in h if x.get("val_Recall@1") is not None]
+            last = vh[-1] if vh else (h[-1] if h else {})
+            if "(study mode)" in str(seed):
+                # STUDY-level retrieval (~1/3 the bank size, union reports):
+                # not comparable against the single-video primary column
+                pair = "— (different val task)"
+            elif h:
                 common = min(len(h), len(hist)) - 1
                 pair = (f"{h[common].get('val_Recall@1', float('nan')):.3f} "
                         f"/ {hist[common].get('val_Recall@1', float('nan')):.3f}"
@@ -295,6 +303,33 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 "*throughput*",
                 "configuration. Settling it needs 3-4 paired seeds per arm "
                 "(~1 chip-day).",
+                "",
+            ]
+        if any("(study mode)" in str(s) for s in runs):
+            lines += [
+                "**Study-mode row (north-star config #2):** multi-view "
+                "studies (2-4 clips",
+                "per StudyInstanceUID grouped from the same rendered corpus; "
+                "ONE report =",
+                "the union of member findings, worst lesion per segment — "
+                "`write_study_manifest`),",
+                "scored at STUDY level against ~341 deduped study reports. "
+                "Protocol:",
+                "params-only warm start from the seed-2 single-video "
+                "backbone",
+                "(`init_from_checkpoint`) with a fresh schedule — "
+                "from-scratch study",
+                "training at this short schedule pins at the ln(B) "
+                "uniform-logits plateau",
+                "(measured this round: loss flat at 2.776 ≈ ln 16 for 3 "
+                "epochs), the same",
+                "failure mode the scaling probes table pins, while the "
+                "warm start lifts",
+                "study R@1 to 0.14 after ONE epoch and 0.21 after two "
+                "(chance ≈ 0.003).",
+                "Short run (time-boxed): treat as the capability "
+                "demonstration; the",
+                "from-scratch study recipe needs its own warmup study.",
                 "",
             ]
         if any("(mono wire)" in str(s) for s in runs):
