@@ -9,6 +9,8 @@ instead of the reference's variable-size gathers (SURVEY.md §7).
 
 from __future__ import annotations
 
+import warnings
+
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -197,13 +199,29 @@ def collate_single_head(
     ]
     out_s = sampler.prepare_batch(entries, epoch=epoch, phase=phase)
     B = len(items)
-    M = min(len(out_s.text_ids), max_texts)
-    dropped = len(out_s.text_ids) - M
+    n_bank = len(out_s.text_ids)
+    order = np.arange(n_bank)
+    if n_bank > max_texts:
+        # On overflow keep every POSITIVE column and truncate negatives
+        # only (insertion order would drop later videos' positives before
+        # earlier videos' negatives, leaving all-zero label rows that
+        # contribute a degenerate loss term). Order is preserved within
+        # each group; stable sort on the is-negative key.
+        is_pos = np.asarray(out_s.labels).max(axis=0) > 0
+        order = np.argsort(~is_pos, kind="stable")
+        if int(is_pos.sum()) > max_texts:
+            warnings.warn(
+                f"collate_single_head: {int(is_pos.sum())} positive texts "
+                f"exceed max_texts={max_texts}; some rows lose positives — "
+                "raise max_texts or lower the sampler's positive budget.")
+    M = min(n_bank, max_texts)
+    dropped = n_bank - M
+    sel = order[:M]
     pos = np.zeros((B, max_texts), np.float32)
     w = np.zeros((B, max_texts), np.float32)
-    pos[:, :M] = out_s.labels[:, :M]
-    w[:, :M] = out_s.weights[:, :M]
-    bank = [text_by_id[t] for t in out_s.text_ids[:M]]
+    pos[:, :M] = np.asarray(out_s.labels)[:, sel]
+    w[:, :M] = np.asarray(out_s.weights)[:, sel]
+    bank = [text_by_id[out_s.text_ids[j]] for j in sel]
     texts_padded = bank + [""] * (max_texts - M)
     enc = tokenizer(
         texts_padded,

@@ -66,8 +66,11 @@ def _merge_params_by_path(new, old):
                 for k, v in new.items()}
     if isinstance(new, dict) or isinstance(old, dict):
         return new
+    new_arr = np.asarray(new)
+    # cast to the target dtype so a warm start across precision settings
+    # can't silently swap the compiled train step's param dtype
     arr = np.asarray(old)
-    return arr if arr.shape == np.asarray(new).shape else new
+    return arr.astype(new_arr.dtype) if arr.shape == new_arr.shape else new
 
 
 class NonFiniteLossError(RuntimeError):
@@ -430,7 +433,7 @@ class VideoContrastiveLearningRunner:
                 # The pipelined loop has already dispatched step i+1 when
                 # step i's metrics are read, so detection is two dispatches
                 # late. With the in-program non-finite guard (train/optim.py
-                # zero_tree_if_nonfinite, default on) a blown step applies NO
+                # keep_old_if_nonfinite, default on) a blown step applies NO
                 # update, so the snapshot's params saw only finite updates —
                 # at most two of them past the failing batch. With the guard
                 # pinned off (DEEPCORO_NANGUARD=0, quality runs) the state

@@ -173,6 +173,10 @@ def log_best_worst_retrievals(
     max_scores = sim.max(axis=1)
     order = np.argsort(-max_scores)
     cohorts = {"best": order[:n], "worst": order[::-1][:n]}
+    if set(map(int, cohorts["worst"])) == set(map(int, cohorts["best"])):
+        # fewer than 2*n videos: the cohorts are the same rows — a second
+        # panel labeled "worst" would just mislabel the best cohort
+        del cohorts["worst"]
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     written: Dict[str, Path] = {}
@@ -201,6 +205,7 @@ def log_best_worst_retrievals(
             out_dir / f"{name}_retrievals_epoch_{epoch}.html", records,
             title=f"{name} retrievals epoch {epoch}",
             n_best=n, n_worst=0,
+            section_title=f"{name.capitalize()} retrievals",
         )
         written[f"{name}_html"] = html_path
         grid = save_retrieval_grid(
@@ -220,11 +225,13 @@ def write_retrieval_report(
     title: str = "Retrieval qualitative report",
     n_best: int = 10,
     n_worst: int = 10,
+    section_title: str = "Best retrievals",
 ) -> Path:
     """records: [{"path", "gt_text", "gt_rank", "topk_texts": [...],
-    "topk_scores": [...], "frame": optional HxWx3 array}]."""
+    "topk_scores": [...], "frame": optional HxWx3 array}]. When the caller
+    passes a single cohort (n_worst=0), ``section_title`` names it."""
     records = sorted(records, key=lambda r: r.get("gt_rank", 1))
-    chosen = [("Best retrievals", records[:n_best])]
+    chosen = [(section_title, records[:n_best])]
     if n_worst > 0:
         chosen.append(("Worst retrievals", records[-n_worst:][::-1]))
     # embed media for the selected rows only (decode is per-row IO)

@@ -203,39 +203,47 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 f"| {pair} |"
             )
         lines.append("")
-        # primary-recipe spread: mean±sd at the LAST COMMON epoch across the
-        # 12-head seeds (geometry variants excluded — they answer a different
-        # question). VERDICT r3 weak #1/#2: quality claims must quantify the
-        # seed spread, not headline the best seed.
+        # primary-recipe spread: best-epoch R@1 mean±sd over COMPLETED
+        # primary-recipe seeds only. Geometry variants AND study-mode runs
+        # are excluded (different question / different val task), and a
+        # seed must cover >=90% of the longest schedule to enter the pool —
+        # a partial seed's best would still rise with more epochs, and a
+        # short run drags any "common epoch" down to early training where
+        # every seed sits near chance (VERDICT r4 weak #2: the e2 stat was
+        # degenerate). VERDICT r3 weak #1/#2: quality claims must quantify
+        # the seed spread, not headline the best seed.
         prim_runs = {s: r for s, r in runs.items()
-                     if "-head text)" not in str(s)}
-        if len(prim_runs) >= 2:
-            common_e = min(len(r["train"]["history"])
-                           for r in prim_runs.values()) - 1
-            at_common = {s: r["train"]["history"][common_e]
-                         .get("val_Recall@1") for s, r in prim_runs.items()}
-            vals = [v for v in at_common.values() if v is not None]
-            mean = sum(vals) / len(vals)
-            sd = (sum((v - mean) ** 2 for v in vals)
-                  / max(len(vals) - 1, 1)) ** 0.5
-            # best-epoch spread over COMPLETED runs only (a partial seed's
-            # best would still rise with more epochs — including it would
-            # overstate the spread)
+                     if "-head text)" not in str(s)
+                     and "(study mode)" not in str(s)}
+        if prim_runs:
             full_len = max(len(r["train"]["history"])
                            for r in prim_runs.values())
+            done_runs = {s: r for s, r in prim_runs.items()
+                         if len(r["train"]["history"]) >= 0.9 * full_len}
+        if prim_runs and len(done_runs) >= 2:
             best_vals = [max((x.get("val_Recall@1") or 0.0
                               for x in r["train"]["history"]), default=0.0)
-                         for r in prim_runs.values()
-                         if len(r["train"]["history"]) >= 0.9 * full_len]
-            bmean = sum(best_vals) / max(len(best_vals), 1)
+                         for r in done_runs.values()]
+            bmean = sum(best_vals) / len(best_vals)
             bsd = (sum((v - bmean) ** 2 for v in best_vals)
                    / max(len(best_vals) - 1, 1)) ** 0.5
+            # final-common-epoch spread among the SAME completed pool
+            # (secondary stat; the pool shares a schedule so this lands at
+            # the end of training, not at e2)
+            common_e = min(len(r["train"]["history"])
+                           for r in done_runs.values()) - 1
+            vals = [v for v in
+                    (r["train"]["history"][common_e].get("val_Recall@1")
+                     for r in done_runs.values()) if v is not None]
+            mean = sum(vals) / max(len(vals), 1)
+            sd = (sum((v - mean) ** 2 for v in vals)
+                  / max(len(vals) - 1, 1)) ** 0.5
             lines += [
-                f"**Primary-recipe spread:** R@1 at the last common epoch "
-                f"(e{common_e}, n={len(vals)} seeds with per-epoch data) = "
-                f"**{mean:.3f} ± {sd:.3f}** (mean ± sd); best-epoch R@1 "
-                f"over the n={len(best_vals)} completed runs = "
-                f"{bmean:.3f} ± {bsd:.3f}. Any single-run comparison "
+                f"**Primary-recipe spread** (n={len(done_runs)} completed "
+                f"seeds; partial/study-mode/geometry runs excluded): "
+                f"best-epoch R@1 = **{bmean:.3f} ± {bsd:.3f}** (mean ± sd)"
+                f"; R@1 at the final common epoch (e{common_e}) = "
+                f"{mean:.3f} ± {sd:.3f}. Any single-run comparison "
                 f"smaller than ~2 sd is not distinguishable from seed "
                 "noise at these n — the geometry read below is stated "
                 "against this spread.",
