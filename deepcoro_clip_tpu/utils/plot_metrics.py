@@ -562,3 +562,150 @@ def plot_calcification_by_vessel_location(run_dir: str | Path,
         epochs, calcification_by_vessel_location(per_epoch),
         "mean calcification metric", out,
     )
+
+
+# --- system / dominance-area averaged trajectories + IFR trends ------------
+# Reference: plot_system_specific_metrics_line_charts (utils/plot_metrics.py
+# :205), plot_coronary_artery_specific_metrics_line_charts (:359) and
+# plot_ifr_trends (:1824). Same trajectory-DataFrame input as the
+# comprehensive panel (epoch column + "<vessel>/<metric>" columns) instead
+# of the reference's nested results_dict — the averaging semantics match:
+# per-epoch nan-mean over the group's vessels, one line per metric family.
+
+
+def _group_metric_trajectories(df, vessels: Sequence[str]):
+    """{metric_suffix: (means, sds)} averaged across ``vessels`` per epoch."""
+    out = {}
+    for suffix in _metric_suffixes(df):
+        if suffix == "n":
+            continue
+        cols = [c for c in df.columns
+                if c.endswith(f"/{suffix}") and c.rsplit("/", 1)[0] in vessels]
+        if not cols:
+            continue
+        vals = df[cols].to_numpy(dtype=float)
+        with np.errstate(invalid="ignore"):
+            means = np.nanmean(vals, axis=1)
+            sds = np.nanstd(vals, axis=1)
+        if np.isnan(means).all():
+            continue
+        out[suffix] = (means, sds)
+    return out
+
+
+def _plot_avg_trajectories(df, vessels, group_name, out):
+    grouped = _group_metric_trajectories(df, list(vessels))
+    if not grouped or "epoch" not in df.columns:
+        return None
+    ncols = min(3, len(grouped))
+    nrows = (len(grouped) + ncols - 1) // ncols
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(5.5 * ncols, 3.6 * nrows), squeeze=False)
+    for ax, (suffix, (means, sds)) in zip(axes.flat, sorted(grouped.items())):
+        ax.plot(df["epoch"], means, marker="o", color="tab:blue",
+                label=f"{group_name} {suffix} (avg)")
+        ax.errorbar(df["epoch"], means, yerr=sds, fmt="none",
+                    ecolor="lightblue", alpha=0.7, capsize=3)
+        ax.set_xlabel("epoch")
+        ax.set_ylabel(suffix)
+        ax.grid(alpha=0.3, linestyle=":")
+        ax.legend(fontsize=8)
+    for ax in axes.flat[len(grouped):]:
+        ax.axis("off")
+    fig.suptitle(f"{group_name}: vessel-averaged metric trajectories")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)
+
+
+def plot_system_specific_metrics_line_charts(
+    trajectory, system_name: str,
+    system_vessel_labels: Optional[Sequence[str]] = None,
+    out: str | Path = "system_metrics.png",
+):
+    """Average metric trajectories for ONE coronary system (reference :205):
+    every metric family in the trajectory, nan-averaged over the system's
+    vessels per epoch, with a cross-vessel sd band. ``system_name`` may be a
+    VESSEL_SYSTEMS key ("left"/"circumflex"/"right") or any label when
+    explicit ``system_vessel_labels`` are given."""
+    df = _load_trajectory(trajectory)
+    if system_vessel_labels is None:
+        toks = VESSEL_SYSTEMS.get(system_name.lower())
+        if toks is None:
+            return None
+        system_vessel_labels = [
+            c.rsplit("/", 1)[0] for c in df.columns if "/" in c
+            and any(t in c for t in toks)]
+    return _plot_avg_trajectories(df, system_vessel_labels, system_name, out)
+
+
+def plot_coronary_artery_specific_metrics_line_charts(
+    trajectory, coronary_artery: str,
+    out: str | Path = "coronary_area_metrics.png",
+):
+    """Average metric trajectories for the left/right DOMINANCE area
+    (reference :359): vessel membership comes from the dominance-aware
+    groupings in data/study_analysis (clean_study_analysis.py:61-62)."""
+    from deepcoro_clip_tpu.data.study_analysis import (
+        LEFT_CORONARY_DOMINANCE_VESSELS,
+        RIGHT_CORONARY_DOMINANCE_VESSELS,
+    )
+
+    area = coronary_artery.lower()
+    if area == "left":
+        vessels, name = LEFT_CORONARY_DOMINANCE_VESSELS, "Left Coronary Area"
+    elif area == "right":
+        vessels, name = RIGHT_CORONARY_DOMINANCE_VESSELS, "Right Coronary Area"
+    else:
+        return None
+    return _plot_avg_trajectories(_load_trajectory(trajectory), vessels,
+                                  name, out)
+
+
+def plot_ifr_trends(
+    trajectory, out: str | Path = "ifr_trends.png",
+    metric_suffix: str = "ifr_mae",
+):
+    """Overall IFR-MAE trend across epochs (reference plot_ifr_trends
+    :1824): per-epoch mean over vessels with sd error bars, a linear trend
+    line, and a best/worst stats box."""
+    df = _load_trajectory(trajectory)
+    cols = [c for c in df.columns if c.endswith(f"/{metric_suffix}")]
+    if not cols or "epoch" not in df.columns:
+        return None
+    vals = df[cols].to_numpy(dtype=float)
+    with np.errstate(invalid="ignore"):
+        means = np.nanmean(vals, axis=1)
+        sds = np.where(np.sum(~np.isnan(vals), axis=1) > 1,
+                       np.nanstd(vals, axis=1), 0.0)
+    ok = ~np.isnan(means)
+    if not ok.any():
+        return None
+    ep = df["epoch"].to_numpy(dtype=float)[ok]
+    m, s = means[ok], sds[ok]
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    ax.plot(ep, m, "o-", lw=2, color="tab:blue", label="IFR MAE")
+    ax.errorbar(ep, m, yerr=s, fmt="none", ecolor="lightblue",
+                alpha=0.7, capsize=3)
+    if len(ep) > 1:
+        z = np.polyfit(ep, m, 1)
+        ax.plot(ep, np.poly1d(z)(ep), "--", color="orange", alpha=0.7,
+                label=f"trend (slope {z[0]:+.5f}/epoch)")
+    best_i, worst_i = int(np.argmin(m)), int(np.argmax(m))
+    ax.text(0.02, 0.98,
+            f"best {m[best_i]:.4f} (e{int(ep[best_i])})\n"
+            f"worst {m[worst_i]:.4f} (e{int(ep[worst_i])})\n"
+            f"mean {np.mean(m):.4f} ± {np.std(m):.4f}",
+            transform=ax.transAxes, va="top", fontsize=9,
+            fontfamily="monospace",
+            bbox=dict(boxstyle="round,pad=0.4", fc="lightyellow", alpha=0.8))
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("MAE")
+    ax.set_title("IFR mean absolute error across epochs")
+    ax.grid(alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return Path(out)

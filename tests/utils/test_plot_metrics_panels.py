@@ -140,3 +140,57 @@ def test_save_plots_to_files(tmp_path):
     written = save_plots_to_files(tmp_path)
     assert len(written) == 2 and all(p.exists() for p in written)
     assert not plt.get_fignums()
+
+
+@pytest.fixture()
+def ifr_trajectory():
+    rng = np.random.default_rng(1)
+    rows = []
+    for e in range(5):
+        rows.append({
+            "epoch": e,
+            "prox_rca_stenosis/ifr_mae": 0.10 - 0.012 * e + rng.normal(0, 0.002),
+            "prox_lad_stenosis/ifr_mae": 0.12 - 0.010 * e,
+            "pda_stenosis/ifr_mae": 0.09 - 0.008 * e,
+            "prox_rca_stenosis/mae": 20.0 - 2 * e,
+            "pda_stenosis/mae": 18.0 - 2 * e,
+        })
+    return pd.DataFrame(rows)
+
+
+def test_system_specific_line_charts(trajectory, tmp_path):
+    # "right" system resolves prox_rca from the trajectory columns
+    out = pm.plot_system_specific_metrics_line_charts(
+        trajectory, "right", out=tmp_path / "sys.png")
+    assert out is not None and out.exists() and out.stat().st_size > 0
+
+
+def test_system_specific_explicit_labels(trajectory, tmp_path):
+    out = pm.plot_system_specific_metrics_line_charts(
+        trajectory, "LAD only",
+        system_vessel_labels=["prox_lad_stenosis"],
+        out=tmp_path / "lad.png")
+    assert out is not None and out.exists()
+
+
+def test_system_specific_unknown_system_none(trajectory, tmp_path):
+    assert pm.plot_system_specific_metrics_line_charts(
+        trajectory, "nonesuch", out=tmp_path / "x.png") is None
+
+
+def test_coronary_area_line_charts(ifr_trajectory, tmp_path):
+    # right dominance area includes prox_rca + pda columns
+    out = pm.plot_coronary_artery_specific_metrics_line_charts(
+        ifr_trajectory, "right", out=tmp_path / "area.png")
+    assert out is not None and out.exists()
+    assert pm.plot_coronary_artery_specific_metrics_line_charts(
+        ifr_trajectory, "sideways", out=tmp_path / "bad.png") is None
+
+
+def test_ifr_trends_panel(ifr_trajectory, tmp_path):
+    out = pm.plot_ifr_trends(ifr_trajectory, out=tmp_path / "ifr.png")
+    assert out is not None and out.exists() and out.stat().st_size > 0
+
+
+def test_ifr_trends_no_columns_none(trajectory, tmp_path):
+    assert pm.plot_ifr_trends(trajectory, out=tmp_path / "n.png") is None
