@@ -102,6 +102,14 @@ class LinearProbingConfig(BaseConfig):
     # ---- inference ----
     inference_model_path: Optional[str] = None
     save_embeddings: bool = False
+    # Split-column value to load in non-train modes (reference
+    # PCI_comparison configs: `split_filter: diagnostic` selects pre-PCI
+    # rows, `POST_PCI` the post-PCI rows, out of one manifest). None keeps
+    # the run_mode-named split; "all" disables filtering.
+    split_filter: Optional[str] = None
+    # Basename for the saved study-embedding archive (reference
+    # `embedding_output_file`); default study_embeddings.npz
+    embedding_output_file: Optional[str] = None
 
     # ---- TPU-native additions ----
     precision: str = "bf16"

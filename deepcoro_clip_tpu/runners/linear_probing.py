@@ -106,10 +106,17 @@ class LinearProbingRunner:
         splits = (
             ["train", "val"] if cfg.run_mode == "train" else [cfg.run_mode]
         )
+        # non-train modes may target an arbitrary Split value (reference
+        # PCI_comparison: split_filter diagnostic/POST_PCI over one CSV)
+        split_of = {
+            s: (getattr(cfg, "split_filter", None) or s)
+            if cfg.run_mode != "train" else s
+            for s in splits
+        }
         out = {}
         for s in splits:
             try:
-                ds = VideoDataset(split=s, rand_augment=cfg.rand_augment and s == "train", **common)
+                ds = VideoDataset(split=split_of[s], rand_augment=cfg.rand_augment and s == "train", **common)
                 out[s] = ds if len(ds) else None
             except Exception:
                 out[s] = None
@@ -322,8 +329,10 @@ class LinearProbingRunner:
             out.mkdir(parents=True, exist_ok=True)
             df.to_csv(out / "predictions.csv", index=False)
             if cfg.save_embeddings and embeddings:
+                name = (getattr(cfg, "embedding_output_file", None)
+                        or "study_embeddings.npz")
                 np.savez(
-                    out / "study_embeddings.npz",
+                    out / name,
                     embeddings=np.concatenate(embeddings),
                     study_ids=np.asarray(study_ids),
                 )
