@@ -84,6 +84,31 @@ class MlpBlock(nn.Module):
         return x
 
 
+class _ProjParams(nn.Module):
+    """Output-projection parameters WITHOUT the dot: the fused-epilogue
+    attention path (DEEPCORO_FUSED_OUTPROJ=1) applies the kernel inside the
+    Pallas call, so only the params are declared here — with the same
+    names ("proj"/kernel+bias), initializers, dtype and partitioning as
+    ``dense(name="proj")`` so checkpoints and shardings are identical
+    whichever path a run compiles."""
+
+    in_dim: int
+    out_dim: int
+    partition: Tuple[Optional[str], Optional[str]] = ("model", None)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.with_partitioning(nn.initializers.xavier_uniform(),
+                                 self.partition),
+            (self.in_dim, self.out_dim), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.out_dim,), jnp.float32)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head self/cross attention on the flash kernel.
 
@@ -134,6 +159,25 @@ class Attention(nn.Module):
             qkv = dense(3 * self.dim, (None, "model"), dtype=self.dtype,
                         name="qkv")(x)
             if use_packed:
+                # fused output projection: the proj dot rides the flash
+                # kernel's epilogue (one fewer fusion boundary per layer;
+                # docs/KERNELS.md "scan idle gap"). Param tree is identical
+                # to the dense path, so the knob never invalidates a
+                # checkpoint.
+                if os.environ.get("DEEPCORO_FUSED_OUTPROJ", "0") == "1":
+                    wo, wb = _ProjParams(self.dim, self.dim,
+                                         name="proj")()
+                    out = flash_attention_packed(
+                        qkv=qkv, num_heads=self.num_heads,
+                        sin=None if sin is None else jnp.asarray(sin),
+                        cos=None if cos is None else jnp.asarray(cos),
+                        kv_mask=kv_mask, causal=causal,
+                        wo=wo,
+                    )
+                    out = out + wb.astype(out.dtype)
+                    out = epilogue_barrier(out)
+                    return nn.Dropout(self.dropout)(
+                        out, deterministic=deterministic)
                 out = flash_attention_packed(
                     qkv=qkv, num_heads=self.num_heads,
                     sin=None if sin is None else jnp.asarray(sin),

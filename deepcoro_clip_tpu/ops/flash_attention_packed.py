@@ -116,6 +116,92 @@ def _fwd_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb, dh):
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
 
+def _fwd_proj_kernel(*refs, scale, causal, has_rope, has_mask, block_q, hb,
+                     dh, nhb):
+    """Fused-epilogue forward: attention + per-head output projection.
+
+    Identical attention math to ``_fwd_kernel``; additionally each head's
+    output tile is multiplied by its slice of the output-projection kernel
+    ``wo`` and accumulated into a fp32 scratch that persists across the
+    head-block grid dimension (the y output block is revisited nhb times —
+    partial sums are written every visit, the last visit completes them).
+    Closes the XLA fusion boundary between the attention custom call and
+    the projection dot (docs/KERNELS.md "scan idle gap"; ~24 of the 26
+    per-step Pallas prologue gaps)."""
+    it = iter(refs)
+    _exp, _fold = softmax_base()  # trace-time env read
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    if has_rope:
+        qsin_ref, qcos_ref, ksin_ref, kcos_ref = (
+            next(it), next(it), next(it), next(it),
+        )
+    if has_mask:
+        mask_ref = next(it)
+    wo_ref = next(it)
+    o_ref = next(it)
+    y_ref = next(it)
+    acc_ref = next(it)
+
+    q_all = q_ref[0]  # [bq, Hb*Dh]
+    k_all = k_ref[0]  # [Lk, Hb*Dh]
+    v_all = v_ref[0]
+
+    if has_mask:
+        valid = mask_ref[0] != 0.0  # [1, Lk]
+    iq = pl.program_id(1)
+    hblk = jax.lax.rem(pl.program_id(0), nhb)
+
+    contrib = None
+    for h in range(hb):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+
+        if has_rope:
+            q = _rot(q, qsin_ref[...].astype(q.dtype),
+                     qcos_ref[...].astype(q.dtype))
+            k = _rot(k, ksin_ref[...].astype(k.dtype),
+                     kcos_ref[...].astype(k.dtype))
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * _fold)
+
+        if has_mask:
+            s = jnp.where(valid, s, NEG_INF)
+        if causal:
+            row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(row >= col, s, NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = _exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+        o = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ob = (o / l).astype(o_ref.dtype)
+        o_ref[0, :, sl] = ob  # attention residual (bwd input), as before
+        # epilogue: this head's slice of the projection (bf16 x bf16 on
+        # the MXU, fp32 accumulate — the XLA dot's own contraction math)
+        part = jax.lax.dot_general(
+            ob, wo_ref[sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, Dout]
+        contrib = part if contrib is None else contrib + part
+
+    rows = pl.dslice(iq * block_q, block_q)
+    prior = acc_ref[rows, :]
+    acc = jnp.where(hblk == 0, contrib, contrib + prior)
+    acc_ref[rows, :] = acc
+    y_ref[0] = acc.astype(y_ref.dtype)
+
+
 # --------------------------------------------------------------------------- #
 # backward
 # --------------------------------------------------------------------------- #
@@ -292,6 +378,51 @@ def _fwd(qa, ka, va, extras, *, B, H, Lq, Lk, D, dh, hb, block_q, causal,
     )(qa, ka, va, *extras)
 
 
+def _fwd_proj(qa, ka, va, wo, extras, *, B, H, Lq, Lk, D, dh, hb, block_q,
+              causal, scale, has_rope, has_mask, interpret, q_blk, k_blk,
+              v_blk):
+    """Fused attention+projection forward -> (y [B,Lq,Dout], out [B,Lq,D])."""
+    nhb = H // hb
+    hd = hb * dh
+    nq = Lq // block_q
+    dout = wo.shape[1]
+    kernel = functools.partial(
+        _fwd_proj_kernel, scale=scale, causal=causal, has_rope=has_rope,
+        has_mask=has_mask, block_q=block_q, hb=hb, dh=dh, nhb=nhb,
+    )
+    in_specs = _specs(nhb, hd, block_q, Lk, dh, has_rope, has_mask,
+                      q_blk, k_blk, v_blk)
+    in_specs += [pl.BlockSpec((hd, dout), lambda g, i: (g % nhb, 0))]
+    return pl.pallas_call(
+        kernel,
+        grid=(B * nhb, nq),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda g, i: (g // nhb, i,
+                                                         g % nhb)),
+            # y is revisited across the head-block grid positions (index
+            # map ignores g % nhb): partial sums out of the fp32 scratch
+            # are written on every visit, the last visit completes them —
+            # grid dim 0 must therefore iterate sequentially ("arbitrary")
+            pl.BlockSpec((1, block_q, dout), lambda g, i: (g // nhb, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lq, D), qa.dtype),
+            jax.ShapeDtypeStruct((B, Lq, dout), qa.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((Lq, dout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Lq * Lk * dh + 2 * B * Lq * D * dout,
+            bytes_accessed=(B * (2 * Lq + 2 * Lk) * D) * qa.dtype.itemsize,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=interpret,
+    )(qa, ka, va, *extras, wo)
+
+
 def _bwd(qa, ka, va, do, out, extras, *, B, H, Lq, Lk, D, dh, hb, block_q,
          causal, scale, has_rope, has_mask, interpret, q_blk, k_blk, v_blk):
     nhb = H // hb
@@ -409,14 +540,76 @@ def _make_fa(B, H, Lq, Lk, D, dh, hb, block_q, causal, scale, has_rope,
     return fa
 
 
+@functools.lru_cache(maxsize=64)
+def _make_fa_proj(B, H, Lq, Lk, D, dh, hb, block_q, causal, scale, has_rope,
+                  has_mask, interpret, fused_qkv):
+    """custom-vjp fused attention+output-projection (packed layout).
+
+    Forward: one Pallas call emits both the projected output ``y`` and the
+    per-head attention output ``out`` (the bwd residual). Backward reuses
+    the standard packed bwd kernel unchanged: ``do = g @ wo.T`` and
+    ``dwo = out^T g`` are plain XLA dots — exactly the two dots XLA's own
+    autodiff of the separate projection would emit, so the bwd program's
+    boundary count is unchanged while the fwd loses one fusion boundary
+    per layer."""
+    hd = hb * dh
+    if fused_qkv:
+        q_blk, k_blk, v_blk = 0, D // hd, 2 * D // hd
+    else:
+        q_blk = k_blk = v_blk = 0
+
+    common = dict(B=B, H=H, Lq=Lq, Lk=Lk, D=D, dh=dh, hb=hb, block_q=block_q,
+                  causal=causal, scale=scale, has_rope=has_rope,
+                  has_mask=has_mask, interpret=interpret,
+                  q_blk=q_blk, k_blk=k_blk, v_blk=v_blk)
+
+    @jax.custom_vjp
+    def fap(qa, ka, va, wo, *extras):
+        out_attn, y = _fwd_proj(qa, ka, va, wo, extras, **common)
+        del out_attn
+        return y
+
+    def fwd(qa, ka, va, wo, *extras):
+        out_attn, y = _fwd_proj(qa, ka, va, wo, extras, **common)
+        return y, (qa, ka, va, wo, out_attn) + extras
+
+    def bwd(res, gy):
+        qa, ka, va, wo, out_attn = res[:5]
+        extras = res[5:]
+        gy = gy.astype(qa.dtype)
+        # unproject the cotangent: do = gy @ wo^T  [B, Lq, D]
+        do = jax.lax.dot_general(
+            gy, wo, dimension_numbers=(((2,), (1,)), ((), ())),
+        ).astype(qa.dtype)
+        dq, dk, dv = _bwd(qa, ka, va, do, out_attn, extras, **common)
+        # dwo = sum_{B,Lq} out^T gy  [D, Dout] (fp32 accumulate)
+        dwo = jax.lax.dot_general(
+            out_attn, gy, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wo.dtype)
+        zeros = tuple(jnp.zeros_like(e) for e in extras)
+        if fused_qkv:
+            dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+            z = jnp.zeros_like(dqkv)
+            return (dqkv, z, z, dwo) + zeros
+        return (dq, dk, dv, dwo) + zeros
+
+    fap.defvjp(fwd, bwd)
+    return fap
+
+
 # --------------------------------------------------------------------------- #
 # public wrapper
 # --------------------------------------------------------------------------- #
 
 
-def _choose_packed(H, lq_pad, lk_pad, dh, block_q, itemsize=2):
+def _choose_packed(H, lq_pad, lk_pad, dh, block_q, itemsize=2, proj_dout=0):
     """(Hb, bq) under the VMEM budget. Per-head score tiles don't scale with
-    Hb, so prefer the largest head-block, then the largest q block."""
+    Hb, so prefer the largest head-block, then the largest q block.
+    ``proj_dout``: fused output-projection width (0 = standard kernel);
+    adds the fp32 y-accumulator scratch, the wo block and the y block to
+    the budget. Returns None when no fused config fits (caller falls back
+    to the unfused kernel + XLA dot)."""
     best = None
     for hb in [d for d in range(1, H + 1) if H % d == 0]:
         hd = hb * dh
@@ -431,13 +624,16 @@ def _choose_packed(H, lq_pad, lk_pad, dh, block_q, itemsize=2):
             scratch = 2 * lk_pad * hd * 4            # fp32 dk/dv acc (bwd)
             tiles = 3 * bq * lk_pad * 4              # s/dp/ds fp32, one head
             qo = 4 * bq * hd * itemsize + 2 * bq * hd * 4
-            if kv + scratch + tiles + qo > VMEM_BUDGET:
+            proj = (padded_lq * proj_dout * 4            # fp32 y accumulator
+                    + hd * proj_dout * itemsize * 2      # wo block (dbuf)
+                    + 2 * bq * proj_dout * itemsize)     # y block
+            if kv + scratch + tiles + qo + proj > VMEM_BUDGET:
                 continue
             key = (hb * bq / waste, hb, bq)
             if best is None or key > best[0]:
                 best = (key, (hb, bq))
     if best is None:
-        return 1, min(64, lq_pad)
+        return None if proj_dout else (1, min(64, lq_pad))
     return best[1]
 
 
@@ -455,6 +651,7 @@ def flash_attention_packed(
     scale: Optional[float] = None,
     block_q: int = 512,
     backend: str = "auto",  # auto | pallas | xla | interpret
+    wo: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention over packed ``[B, L, H*Dh]`` activations.
 
@@ -462,6 +659,12 @@ def flash_attention_packed(
     ``qkv`` ``[B, L, 3D]`` (self-attention; q/k/v are lane views — nothing
     is sliced out in HBM). Requires ``Dh % 128 == 0``; callers fall back to
     ``flash_attention`` otherwise. Returns ``[B, Lq, D]``.
+
+    ``wo`` (``[D, Dout]``): fuse the output projection into the kernel
+    epilogue and return the PROJECTED ``[B, Lq, Dout]`` output instead
+    (docs/KERNELS.md "scan idle gap"; bias stays with the caller). Falls
+    back to kernel + XLA dot when the fused config exceeds the VMEM
+    budget.
     """
     fused = qkv is not None
     if fused:
@@ -478,6 +681,11 @@ def flash_attention_packed(
     if dh % LANE != 0:
         raise ValueError(f"packed attention requires Dh%128==0, got Dh={dh}")
 
+    if wo is not None:
+        if wo.shape[0] != D:
+            raise ValueError(f"wo rows {wo.shape[0]} != D {D}")
+        wo = wo.astype(ref_dtype)
+
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "xla":
@@ -489,7 +697,11 @@ def flash_attention_packed(
         m = (kv_mask != 0) if kv_mask is not None else None
         out = multi_head_attention(qh, kh, vh, sin=sin, cos=cos, kv_mask=m,
                                    causal=causal, scale=scale)
-        return out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+        if wo is not None:
+            out = jax.lax.dot_general(
+                out, wo, dimension_numbers=(((2,), (0,)), ((), ())))
+        return out
     interpret = backend == "interpret"
 
     has_rope = sin is not None
@@ -501,8 +713,21 @@ def flash_attention_packed(
     lk_pad = int(np.ceil(Lk / LANE) * LANE)
     if has_rope:
         lq_pad = lk_pad = max(lq_pad, lk_pad)
-    hb, bq = _choose_packed(H, lq_pad, lk_pad, dh, block_q,
-                            itemsize=ref_dtype.itemsize)
+    # fused output projection reuses the standard packed bwd kernel, which
+    # only exists for the pallas bwd implementation
+    fuse_proj = (wo is not None
+                 and os.environ.get("DEEPCORO_FLASH_BWD", "pallas")
+                 == "pallas")
+    chosen = None
+    if fuse_proj:
+        chosen = _choose_packed(H, lq_pad, lk_pad, dh, block_q,
+                                itemsize=ref_dtype.itemsize,
+                                proj_dout=int(wo.shape[1]))
+        fuse_proj = chosen is not None
+    if chosen is None:
+        chosen = _choose_packed(H, lq_pad, lk_pad, dh, block_q,
+                                itemsize=ref_dtype.itemsize)
+    hb, bq = chosen
     lq_pad = int(np.ceil(lq_pad / bq) * bq)
     if has_rope:
         lk_pad = lq_pad
@@ -534,8 +759,18 @@ def flash_attention_packed(
     if has_mask:
         extras += [maskf]
 
+    if fuse_proj:
+        fap = _make_fa_proj(B, H, lq_pad, lk_pad, D, dh, hb, bq, causal,
+                            scale_v, has_rope, has_mask, interpret, fused)
+        y = fap(qa, ka, va, wo, *extras)
+        return y[:, :Lq, :]
+
     bwd_impl = os.environ.get("DEEPCORO_FLASH_BWD", "pallas")
     fa = _make_fa(B, H, lq_pad, lk_pad, D, dh, hb, bq, causal, scale_v,
                   has_rope, has_mask, interpret, fused, bwd_impl)
     out = fa(qa, ka, va, *extras)
-    return out[:, :Lq, :]
+    out = out[:, :Lq, :]
+    if wo is not None:
+        out = jax.lax.dot_general(
+            out, wo, dimension_numbers=(((2,), (0,)), ((), ())))
+    return out
