@@ -63,6 +63,9 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                 "tiers": _load(d / "artifacts" / "tiers.json"),
                 "scaling": _load(d / "artifacts" / "scaling.json"),
                 "probe": _load(d / "artifacts" / "probe.json"),
+                "probe_variants": {
+                    j.stem: _load(j)
+                    for j in (d / "artifacts").glob("probe_*.json")},
             }
             # publish the (tiny) artifact JSONs into the repo so a VM reset
             # can't lose them: dev/restore_quality_artifacts.py copies these
@@ -84,6 +87,9 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                               "config": {"partial": True}},
                     "tiers": {}, "scaling": {},
                     "probe": _load(d / "artifacts" / "probe.json"),
+                    "probe_variants": {
+                        j.stem: _load(j)
+                        for j in (d / "artifacts").glob("probe_*.json")},
                 }
     if not runs:
         raise SystemExit("no .quality_run_v2_s*/artifacts/train.json found")
@@ -451,6 +457,50 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                     f"| [{lo:{fmt}}, {hi:{fmt}}] | {floor_s} | {clears} |"
                 )
             lines.append("")
+    # Few-shot probing (VERDICT r4 weak #4): the full-corpus probe
+    # saturates, so variants subsample the probe TRAIN set
+    # (DEEPCORO_QR_PROBE_TRAIN_N) — label efficiency off the ceiling is
+    # what ranks backbones. One row per (seed, backbone checkpoint).
+    variants: dict = {}
+    for s, r in runs.items():
+        for vname, pj in (r.get("probe_variants") or {}).items():
+            if pj:
+                variants.setdefault(vname, []).append((s, pj))
+    if variants:
+        lines += [
+            "### Few-shot probing (backbone separation protocol)",
+            "",
+            "Same heads/geometry as the full probe, train split subsampled",
+            "to N clips (val untouched, labels clean): representation",
+            "quality shows up as label efficiency, pulling AUROC off the",
+            "ceiling so backbones can be RANKED. Rows whose CIs do not",
+            "overlap are separated by the probe.",
+            "",
+            "| variant | seed | backbone ckpt | mean AUROC (binary heads) "
+            "| severe_any AUROC [CI] | worst-pct MAE [CI] |",
+            "|---|---|---|---|---|---|",
+        ]
+        for vname in sorted(variants):
+            for s, pj in sorted(variants[vname]):
+                heads = pj.get("heads", {})
+                aucs = [e.get("auc") for e in heads.values()
+                        if e.get("task") == "binary"
+                        and e.get("auc") is not None]
+                mean_auc = (sum(aucs) / len(aucs)) if aucs else float("nan")
+                sa = heads.get("severe_any", {})
+                mx = heads.get("max_stenosis_pct", {})
+                bb = Path(str(pj.get("backbone_checkpoint", ""))).name
+                lines.append(
+                    f"| {vname} (n_train={pj.get('train_n')}) | {s} "
+                    f"| `{bb}` | {mean_auc:.3f} "
+                    f"| {sa.get('auc', float('nan')):.3f} "
+                    f"[{sa.get('auc_ci_lo', float('nan')):.3f}, "
+                    f"{sa.get('auc_ci_hi', float('nan')):.3f}] "
+                    f"| {mx.get('mae', float('nan')):.2f} "
+                    f"[{mx.get('mae_ci_lo', float('nan')):.2f}, "
+                    f"{mx.get('mae_ci_hi', float('nan')):.2f}] |"
+                )
+        lines.append("")
     if scaling:
         lines += [
             "## lr x recipe scaling probes (300 steps, fixed real batches)",

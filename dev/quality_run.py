@@ -639,7 +639,17 @@ def stage_scaling_probe(only_B: int):
 # ------------------------------------------------------------------ #
 
 PROBE_EPOCHS = int(os.environ.get("DEEPCORO_QR_PROBE_EPOCHS", "10"))
-PROBE_DIR = RUN_DIR / "probe"
+# Few-shot probing protocol (VERDICT r4 #6): the full-corpus probe task
+# saturates (every binary head 0.985+ even on the weakest backbone), so it
+# cannot rank backbones. DEEPCORO_QR_PROBE_TRAIN_N=256 subsamples the
+# probe TRAIN split to N clips (fixed rng; val untouched, labels clean) —
+# representation quality shows up as label efficiency, and the head set /
+# geometry stay identical to the published probe program (warm compile).
+PROBE_TRAIN_N = int(os.environ.get("DEEPCORO_QR_PROBE_TRAIN_N", "0"))
+PROBE_TAG = os.environ.get(
+    "DEEPCORO_QR_PROBE_TAG", f"fs{PROBE_TRAIN_N}" if PROBE_TRAIN_N else "")
+PROBE_DIR = RUN_DIR / ("probe" if not PROBE_TAG else f"probe_{PROBE_TAG}")
+PROBE_ART = "probe.json" if not PROBE_TAG else f"probe_{PROBE_TAG}.json"
 
 
 def _probe_heads():
@@ -659,12 +669,28 @@ def _write_probe_config():
     from deepcoro_clip_tpu.data.synthetic_angio import write_probe_labels
 
     labels_csv = write_probe_labels(CORPUS, CORPUS_SEED, 2, True)
+    if PROBE_TRAIN_N:
+        import pandas as pd
+
+        df = pd.read_csv(labels_csv, sep="α", engine="python")
+        tr = df[df.Split == "train"]
+        keep = tr.sample(n=min(PROBE_TRAIN_N, len(tr)), random_state=123)
+        PROBE_DIR.mkdir(parents=True, exist_ok=True)
+        few_csv = PROBE_DIR / f"probe_labels_{PROBE_TAG}.csv"
+        pd.concat([keep, df[df.Split != "train"]]).to_csv(
+            few_csv, sep="α", index=False)
+        labels_csv = few_csv
     run_out = _existing_run_dir()
     assert run_out is not None, "probe stage needs a finished train stage"
     from deepcoro_clip_tpu.train.checkpoint import CheckpointManager
 
     ckpt = CheckpointManager(run_out / "checkpoints")
-    best = ckpt.find_best() or "checkpoint"
+    # DEEPCORO_QR_PROBE_CKPT pins the backbone: a name under the run's
+    # checkpoints dir, or an absolute path (e.g. a snapshotted epoch under
+    # probe_backbones/) — the few-shot separation protocol probes an early
+    # vs a late checkpoint of the same run
+    pinned = os.environ.get("DEEPCORO_QR_PROBE_CKPT", "")
+    best = pinned or ckpt.find_best() or "checkpoint"
     meta = json.loads((run_out / "checkpoints" / "checkpoint.json").read_text())
     train_cfg = yaml.safe_load((RUN_DIR / "train_config.yaml").open())
 
@@ -685,7 +711,9 @@ def _write_probe_config():
         head_lr={c: 1e-3 for c in cols},
         pooling_mode="attention",
         attention_hidden=256,
-        video_encoder_checkpoint_path=str(run_out / "checkpoints" / best),
+        video_encoder_checkpoint_path=(
+            best if os.path.isabs(str(best))
+            else str(run_out / "checkpoints" / best)),
         video_freeze_ratio=1.0,
         # video tower geometry MUST match the CLIP checkpoint's
         **{k: train_cfg[k] for k in (
@@ -767,7 +795,9 @@ def stage_probe_eval():
     out = {"best_checkpoint": best, "epochs": PROBE_EPOCHS,
            "backbone_checkpoint": str(runner.config
                                       .video_encoder_checkpoint_path),
-           "n_val": int(len(preds)), "heads": {}}
+           "n_val": int(len(preds)), "heads": {},
+           "variant": PROBE_TAG or "full",
+           "train_n": PROBE_TRAIN_N or None}
     for c in cols:
         p = preds[f"{c}_pred"].to_numpy(np.float32)
         t = preds[f"{c}_target"].to_numpy(np.float32)
@@ -799,7 +829,7 @@ def stage_probe_eval():
         print(c, {k: round(v, 4) for k, v in entry.items()
                   if isinstance(v, float)}, flush=True)
     ART.mkdir(parents=True, exist_ok=True)
-    (ART / "probe.json").write_text(json.dumps(out, default=float))
+    (ART / PROBE_ART).write_text(json.dumps(out, default=float))
 
 
 def stage_probe():
