@@ -22,6 +22,7 @@ Capabilities:
 
 from __future__ import annotations
 
+import json
 import re
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
@@ -482,3 +483,154 @@ def run_multi_epoch_analysis(
     if out_csv:
         df.to_csv(out_csv, index=False)
     return df
+
+
+# --------------------------------------------------------------------------- #
+# epoch-analysis flows (reference clean_study_analysis.py:64-1202): merge a
+# run's per-epoch retrieval CSVs with the report manifest's ground truth,
+# build the text-index -> label mappings, score study-level predictions per
+# epoch — vectorized pandas instead of the reference's per-row loops.
+# --------------------------------------------------------------------------- #
+
+
+def load_report_data(report_csv: str | Path) -> pd.DataFrame:
+    """The α-separated report manifest (reference load_report_data_once:64
+    — the filename "map" is just a merge key here; pandas joins replace the
+    per-row dict build)."""
+    from deepcoro_clip_tpu.data.csv_utils import read_csv_with_fallback
+
+    return read_csv_with_fallback(str(report_csv))
+
+
+def merge_epoch_with_report(df_epoch: pd.DataFrame,
+                            df_report: pd.DataFrame) -> pd.DataFrame:
+    """Join one epoch's validation rows to the report rows by full video
+    path (reference merge_epoch_with_report_mapping:133; accepts either a
+    ``FileName`` or ``video_path`` column). Epoch rows with no report
+    match are dropped (their count is recorded in ``attrs``)."""
+    col = ("FileName" if "FileName" in df_epoch.columns
+           else "video_path" if "video_path" in df_epoch.columns else None)
+    if col is None or df_report.empty:
+        return pd.DataFrame()
+    left = df_epoch.rename(columns={col: "FileName"})
+    overlap = (set(left.columns) & set(df_report.columns)) - {"FileName"}
+    merged = left.merge(df_report.drop(columns=list(overlap)),
+                        on="FileName", how="inner")
+    merged.attrs["n_unmatched"] = int(
+        (~left["FileName"].isin(df_report["FileName"])).sum())
+    return merged
+
+
+def create_gt_mappings_from_merged(merged_df: pd.DataFrame) -> Dict:
+    """Text-bank index -> per-vessel label lookups out of merged epoch
+    rows (reference create_gt_mappings_from_merged_data:461): for every
+    ``*_stenosis`` / ``*_calcif`` / ``*_IFRHYPER`` column, the first value
+    seen per ``ground_truth_idx``."""
+    out: Dict[str, Dict] = {"stenosis": {}, "calcification": {}, "ifr": {}}
+    if "ground_truth_idx" not in merged_df.columns:
+        return out
+    fam = {"stenosis": "_stenosis", "calcification": "_calcif",
+           "ifr": "_IFRHYPER"}
+    g = merged_df.groupby("ground_truth_idx")
+    for key, suffix in fam.items():
+        for col in merged_df.columns:
+            if col.endswith(suffix) and not col.startswith(("gt_", "pred_")):
+                out[key][col] = g[col].first().to_dict()
+    return out
+
+
+def compute_epoch_study_metrics(study_df: pd.DataFrame,
+                                min_n: int = 5) -> Dict:
+    """Per-vessel MAE/correlation (stenosis, IFR) and accuracy (calcif)
+    from a study-level gt_/pred_ frame (reference run_study_analysis
+    metric block :1030-1130; same >min_n validity gate)."""
+    metrics: Dict[str, Dict] = {
+        "stenosis": {"mae": {}, "corr": {}},
+        "calcification": {"accuracy": {}},
+        "ifr": {"mae": {}, "corr": {}},
+    }
+    for col in study_df.columns:
+        if not col.startswith("gt_") or col.endswith("_count"):
+            continue
+        vessel = col[3:]
+        pred_col = f"pred_{vessel}"
+        if pred_col not in study_df.columns:
+            continue
+        gt = study_df[col]
+        pr = study_df[pred_col]
+        if vessel.endswith("_calcif"):
+            ok = gt.notna() & pr.notna()
+            if int(ok.sum()) > min_n:
+                metrics["calcification"]["accuracy"][vessel] = float(
+                    (gt[ok] == pr[ok]).mean())
+            continue
+        family = "ifr" if vessel.endswith("_IFRHYPER") else "stenosis"
+        gt = pd.to_numeric(gt, errors="coerce")
+        pr = pd.to_numeric(pr, errors="coerce")
+        ok = gt.notna() & pr.notna()
+        if int(ok.sum()) <= min_n:
+            continue
+        a = gt[ok].to_numpy(np.float64)
+        b = pr[ok].to_numpy(np.float64)
+        metrics[family]["mae"][vessel] = float(np.mean(np.abs(a - b)))
+        if len(set(a)) > 1 and len(set(b)) > 1:
+            c = float(np.corrcoef(a, b)[0, 1])
+            if not np.isnan(c):
+                metrics[family]["corr"][vessel] = c
+    return metrics
+
+
+def run_study_analysis(report_csv: str | Path, epoch_csv: str | Path,
+                       output_dir: Optional[str | Path] = None
+                       ) -> Tuple[pd.DataFrame, Dict]:
+    """Single-epoch study analysis driver (reference run_study_analysis
+    :991): report merge -> GT mappings -> study-level predictions ->
+    per-vessel metrics. Optionally writes ``study_predictions.csv`` +
+    ``study_metrics.json``."""
+    df_report = load_report_data(report_csv)
+    df_epoch = pd.read_csv(epoch_csv)
+    merged = merge_epoch_with_report(df_epoch, df_report)
+    if merged.empty:
+        return pd.DataFrame(), {}
+    gt_mappings = create_gt_mappings_from_merged(merged)
+    study_df = create_study_level_predictions(merged, gt_mappings)
+    metrics = compute_epoch_study_metrics(study_df)
+    if output_dir is not None:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        study_df.to_csv(out / "study_predictions.csv", index=False)
+        (out / "study_metrics.json").write_text(
+            json.dumps(metrics, default=float))
+    return study_df, metrics
+
+
+def _analyze_one_epoch(args: Tuple[str, str, Optional[str]]
+                       ) -> Tuple[str, Dict]:
+    epoch_csv, report_csv, out_dir = args
+    _, metrics = run_study_analysis(report_csv, epoch_csv, out_dir)
+    return Path(epoch_csv).name, metrics
+
+
+def run_multi_epoch_study_analysis(
+    epoch_csvs: Sequence[str | Path],
+    report_csv: str | Path,
+    output_dir: Optional[str | Path] = None,
+    processes: int = 1,
+) -> Dict[str, Dict]:
+    """Every epoch CSV through the study analysis, optionally in a process
+    pool (reference run_multi_epoch_analysis_parallel:645 /
+    _optimized:847): {epoch_file: {"metrics": nested}} — the results_dict
+    shape the reference's per-system/per-artery chart functions consume
+    (utils/plot_metrics.epoch_results_to_trajectory adapts it to the
+    trajectory-DataFrame panels)."""
+    jobs = [(str(p), str(report_csv),
+             str(Path(output_dir) / Path(p).stem) if output_dir else None)
+            for p in epoch_csvs]
+    if processes > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(processes) as pool:
+            results = pool.map(_analyze_one_epoch, jobs)
+    else:
+        results = [_analyze_one_epoch(j) for j in jobs]
+    return {name: {"metrics": m} for name, m in results}

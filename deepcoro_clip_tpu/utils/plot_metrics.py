@@ -709,3 +709,40 @@ def plot_ifr_trends(
     fig.savefig(out, dpi=120)
     plt.close(fig)
     return Path(out)
+
+
+def epoch_results_to_trajectory(results_dict: Dict) -> "object":
+    """Adapt the nested epoch-analysis results ({epoch_key: {"metrics":
+    {stenosis/calcification/ifr: {stat: {vessel: v}}}}}, the shape
+    data/study_analysis.run_multi_epoch_study_analysis returns and the
+    reference's chart functions consume) to the trajectory DataFrame the
+    panel functions here take. Column naming: ``<vessel>/mae|corr``
+    (stenosis), ``<vessel>/accuracy`` (calcification),
+    ``<vessel>/ifr_mae|ifr_corr`` (IFR)."""
+    import re as _re
+
+    import pandas as pd
+
+    suffix_of = {
+        ("stenosis", "mae"): "mae", ("stenosis", "corr"): "corr",
+        ("calcification", "accuracy"): "accuracy",
+        ("ifr", "mae"): "ifr_mae", ("ifr", "corr"): "ifr_corr",
+    }
+
+    def epoch_num(key, i):
+        m = _re.search(r"epoch[_-]?(\d+)", str(key))
+        return int(m.group(1)) if m else i
+
+    rows = []
+    for i, key in enumerate(sorted(results_dict)):
+        row = {"epoch": epoch_num(key, i)}
+        metrics = results_dict[key].get("metrics", results_dict[key])
+        for fam, stats in metrics.items():
+            for stat, per_vessel in stats.items():
+                sfx = suffix_of.get((fam, stat))
+                if sfx is None:
+                    continue
+                for vessel, v in per_vessel.items():
+                    row[f"{vessel}/{sfx}"] = v
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("epoch").reset_index(drop=True)
