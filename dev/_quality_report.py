@@ -41,8 +41,17 @@ def _history_from_metrics(run_dir: Path) -> list[dict]:
 def write_report(repo: Path, n_train: int, n_val: int, batch: int,
                  text_len: int) -> None:
     runs = {}
+    import re as _re
+
     for d in sorted(repo.glob(".quality_run_v2_s*")):
         seed = d.name.split("_v2_s", 1)[-1]
+        # recipe-variant suffixes (DEEPCORO_QR_LR / DEEPCORO_QR_WARMUP):
+        # strip them into a label so the base-name parsing below still works
+        recipe = ""
+        m = _re.search(r"(_lr[^_]+)?(_wu[^_]+)?$", seed)
+        if m.group(0):
+            recipe = m.group(0).replace("_lr", " lr=").replace("_wu", " wu=")
+            seed = seed[: -len(m.group(0))]
         study = seed.endswith("_study")  # study-mode run (DEEPCORO_QR_STUDY)
         if study:
             seed = seed[: -len("_study")]
@@ -56,6 +65,11 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
             seed = f"{seed} (mono wire)"
         if study:
             seed = f"{seed} (study mode)"
+        if recipe:
+            # recipe variants answer a schedule question, not the primary
+            # seed-spread question — the "(recipe" token also excludes them
+            # from the prim_runs pool below
+            seed = f"{seed} (recipe{recipe})"
         tj = d / "artifacts" / "train.json"
         if tj.exists():
             runs[seed] = {
@@ -220,7 +234,8 @@ def write_report(repo: Path, n_train: int, n_val: int, batch: int,
         # the seed spread, not headline the best seed.
         prim_runs = {s: r for s, r in runs.items()
                      if "-head text)" not in str(s)
-                     and "(study mode)" not in str(s)}
+                     and "(study mode)" not in str(s)
+                     and "(recipe" not in str(s)}
         if prim_runs:
             full_len = max(len(r["train"]["history"])
                            for r in prim_runs.values())

@@ -58,6 +58,13 @@ MONO = os.environ.get("DEEPCORO_QR_MONO", "0") == "1"
 # train stage runs the multi-video recipe (aggregator over per-video
 # embeddings) and retrieval is scored at STUDY level.
 STUDY = os.environ.get("DEEPCORO_QR_STUDY", "0") == "1"
+# From-scratch recipe knobs (VERDICT r4 #4: find the schedule that escapes
+# the study-mode ln(B) plateau WITHOUT a warm start). Changing either bakes
+# different schedule constants into the train step => fresh ~35 min remote
+# compile; run dirs are suffixed so recipe variants never collide with the
+# published seeds' artifacts.
+QR_LR = float(os.environ.get("DEEPCORO_QR_LR", "1e-4"))
+QR_WARMUP = os.environ.get("DEEPCORO_QR_WARMUP")  # num_warmup_percent
 
 # Pin the quality-recipe PROGRAM regardless of the library's throughput
 # defaults: every published quality seed ran the standard attention kernel
@@ -76,7 +83,9 @@ os.environ.setdefault("DEEPCORO_NANGUARD", "0")
 RUN_DIR = REPO / (f".quality_run_v2_s{SEED}"
                   + ("" if TEXT_HEADS == 12 else f"_h{TEXT_HEADS}")
                   + ("_mono" if MONO else "")
-                  + ("_study" if STUDY else ""))
+                  + ("_study" if STUDY else "")
+                  + ("" if QR_LR == 1e-4 else f"_lr{QR_LR:g}")
+                  + (f"_wu{QR_WARMUP}" if QR_WARMUP else ""))
 ART = RUN_DIR / "artifacts"
 
 
@@ -112,7 +121,8 @@ def _base_cfg(**over):
         **({"num_videos": 4, "groupby_column": "StudyInstanceUID",
             "shuffle_videos": True} if STUDY else {}),
         max_text_length=TEXT_LEN,
-        lr=1e-4,
+        lr=QR_LR,
+        **({"num_warmup_percent": float(QR_WARMUP)} if QR_WARMUP else {}),
         scheduler_name="cosine_with_warmup",
         loss_name="contrastive",
         use_wandb=False,
@@ -279,7 +289,9 @@ def stage_train():
     out = {
         "history": history,
         "wall_seconds": round(time.perf_counter() - t0, 1),
-        "config": {"epochs": EPOCHS, "batch_size": BATCH, "lr": 1e-4,
+        "config": {"epochs": EPOCHS, "batch_size": BATCH, "lr": QR_LR,
+                   **({"num_warmup_percent": float(QR_WARMUP)}
+                      if QR_WARMUP else {}),
                    "max_text_length": TEXT_LEN, "loss_name": "contrastive",
                    "seed": SEED, "tokenizer": tok_name},
         "note": "wall_seconds covers the resumed chunks of this invocation",
