@@ -48,7 +48,10 @@ def main() -> None:
                   f"\n{r.stderr[-500:]}")
             continue
         runs.append({"value": line["value"], "unit": line.get("unit"),
-                     "wall_s": round(wall, 1)})
+                     "wall_s": round(wall, 1),
+                     # keep the full record: the h2d-inclusive number is
+                     # the relay-health diagnostic (VERDICT r4 #1 collapse)
+                     "record": line})
         print(f"run {i}: {line['value']:.2f} {line.get('unit')} "
               f"({wall:.0f}s)", flush=True)
 
