@@ -129,6 +129,27 @@ def main():
         config, output_dir=str(RUN_DIR / "run")
     )
     print("tokenizer:", type(runner.tokenizer).__name__, flush=True)
+    if os.environ.get("DEEPCORO_CAP_WARM", "0") == "1":
+        # warm-compile only: one real step so the remote compile happens
+        # concurrently with whatever owns the chip (dev/warm_train_step.py
+        # pattern); the real run later hits the persistent cache
+        import jax
+        import numpy as np
+
+        loader = runner.loaders["train"]
+        loader.set_epoch(0)
+        batch = next(iter(loader))
+        db = runner.bundle.batch_sharding_fn(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)})
+        w = runner.weight_sched.at(0)
+        _, m = runner.train_step(
+            runner.state, db, jax.random.PRNGKey(0),
+            w.get("contrastive", 1.0), w.get("captioning", 1.0),
+            w.get("mvm", 1.0), 0.0, 0.0, -1.0)
+        jax.block_until_ready(m["loss"])
+        print(f"warm step done in {time.perf_counter() - t0:.1f} s "
+              f"(loss {float(m['loss']):.3f})", flush=True)
+        return
     # go through maybe_resume like the project path does — calling train()
     # bare ignores resume_training and restarts from epoch 0 over the
     # existing checkpoints
