@@ -119,6 +119,12 @@ def main():
             wire_dtype="uint8",
             lr=float(os.environ.get("DEEPCORO_CAP_LR", "3e-4")),
             text_lr=3e-4,
+            # corpus channel stats (grayscale-replicated clips: all three
+            # channels identical; measured by the quality run's stats scan
+            # over the same clips) — pinning skips a 5120-clip host scan
+            # that would contend with concurrent chip training
+            dataset_mean=[51.629, 51.629, 51.629],
+            dataset_std=[59.602, 59.602, 59.602],
         )
     cfg_path = RUN_DIR / "config.yaml"
     yaml.safe_dump(cfg_d, cfg_path.open("w"))
