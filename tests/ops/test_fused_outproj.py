@@ -154,3 +154,14 @@ def test_layer_knob_same_params_and_output(monkeypatch):
     gproj = jax.tree.leaves(g["params"]["proj"])
     assert all(np.isfinite(np.asarray(t)).all() for t in gproj)
     assert any(float(jnp.abs(t).max()) > 0 for t in gproj)
+
+
+def test_xla_bwd_env_falls_back_to_unfused(monkeypatch):
+    """DEEPCORO_FLASH_BWD=xla has no fused-proj bwd kernel: the wrapper
+    must silently run unfused kernel + dot (same value, xla-bwd grads)."""
+    monkeypatch.setenv("DEEPCORO_FLASH_BWD", "xla")
+    q, k, v, wo = _mk(128, seed=11)
+    y = fap.flash_attention_packed(q, k, v, num_heads=H, wo=wo,
+                                   backend="interpret")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_unfused(q, k, v, wo)),
+                               atol=5e-5, rtol=5e-5)
