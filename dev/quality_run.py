@@ -230,41 +230,95 @@ def stage_train_chunk(start: int, end: int):
     runner.train(s, end)
 
 
+def _metrics_age(run_out) -> float:
+    """Seconds since the run last wrote a metrics line (inf if none)."""
+    mj = run_out / "metrics.jsonl" if run_out else None
+    if not mj or not mj.exists():
+        return float("inf")
+    try:
+        last = mj.read_text().splitlines()[-1]
+        return time.time() - json.loads(last)["ts"]
+    except Exception:
+        return float("inf")
+
+
+def _run_chunk_watched(cmd, run_out, stall_s: int = 900,
+                       timeout_s: int = 5400):
+    """Run a chunk subprocess, killing it if the run's metrics stop
+    advancing for ``stall_s`` (the relay dead-connection mode hangs
+    dispatches mid-step or mid-checkpoint-save with the process
+    futex-waiting at ~0 CPU — observed r4 tiers and r5 s2-completion;
+    a killed chunk resumes from the last epoch checkpoint)."""
+    import subprocess
+
+    proc = subprocess.Popen(cmd, cwd=str(REPO))
+    t0 = time.time()
+    baseline_age = _metrics_age(run_out)
+    if baseline_age == float("inf"):
+        # brand-new run: the first chunk may legitimately sit in a fresh
+        # remote compile for ~35 min before any metric flows
+        stall_s = max(stall_s, 3600)
+    while True:
+        try:
+            return proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited > timeout_s:
+            proc.kill()
+            return "timeout"
+        age = _metrics_age(run_out)
+        # during startup (restore/compile) no metrics flow: give the
+        # chunk `stall_s` from ITS OWN start before the age rule applies
+        if waited > stall_s and age > stall_s and age > baseline_age - 1:
+            print(f"chunk stalled (metrics age {age:.0f}s) — killing",
+                  flush=True)
+            proc.kill()
+            return "stall"
+        if age < stall_s:
+            baseline_age = 0.0  # metrics flowed at least once
+
+
 def stage_train():
     """Chunked flagship training: subprocess per CHUNK epochs (leak bound),
     then assemble the full history from the run dir's metrics.jsonl."""
-    import subprocess
-
     ART.mkdir(parents=True, exist_ok=True)
     _write_train_config()
     CHUNK = 2
     t0 = time.perf_counter()
+    no_progress = 0
     while True:
         run_out = _existing_run_dir()
         done = _last_epoch(run_out) if run_out else -1
         start = done + 1
         if start >= EPOCHS:
             break
-        try:
-            # Bound each chunk: when the axon relay dies, device dispatches
-            # HANG forever rather than erroring (CLAUDE.md) — without a
-            # timeout one dead chunk eats the rest of the session. 2 epochs
-            # ~= 45 min plus a possible first-chunk compile warm.
-            r = subprocess.run(
-                [sys.executable, str(Path(__file__).resolve()),
-                 f"train_chunk:{start}:{min(start + CHUNK, EPOCHS)}"],
-                cwd=str(REPO), timeout=5400,
-            )
-            rc = r.returncode
-        except subprocess.TimeoutExpired:
-            rc = "timeout"
+        # Bound each chunk: when the axon relay dies, device dispatches
+        # HANG forever rather than erroring (CLAUDE.md) — the watcher
+        # kills a chunk whose metrics stop advancing, and resume retries
+        # it from the last epoch checkpoint.
+        rc = _run_chunk_watched(
+            [sys.executable, str(Path(__file__).resolve()),
+             f"train_chunk:{start}:{min(start + CHUNK, EPOCHS)}"],
+            run_out)
         if rc != 0:
             new_done = _last_epoch(_existing_run_dir())
-            if new_done <= done:  # no forward progress -> give up
-                raise RuntimeError(
-                    f"train chunk failed (rc={rc}) at epoch {start}")
+            if new_done <= done:
+                no_progress += 1
+                # one free retry: a chunk can wedge at STARTUP (dead
+                # relay connection before its first step — observed r5);
+                # a second consecutive no-progress failure is real
+                if no_progress > 1:
+                    raise RuntimeError(
+                        f"train chunk failed (rc={rc}) at epoch {start}")
+                print(f"chunk made no progress (rc={rc}); retrying once",
+                      flush=True)
+                continue
+            no_progress = 0
             print(f"chunk exited rc={rc}; progressed to "
                   f"epoch {new_done}, continuing", flush=True)
+        else:
+            no_progress = 0
 
     # rebuild the per-epoch history from the run's metrics.jsonl
     run_out = _existing_run_dir()
