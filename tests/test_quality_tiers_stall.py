@@ -77,3 +77,30 @@ def test_tiers_stage_skips_measured_and_reports_missing(tmp_path, monkeypatch,
     # the measured partial survives; unmeasured tiers reported missing
     assert list(out) == ["1-finding"]
     assert "INCOMPLETE" in capsys.readouterr().out
+
+
+def test_run_chunk_watched_kills_stalled_process(tmp_path, monkeypatch):
+    """A chunk whose metrics never advance past the stall window is
+    killed (relay dead-connection mode) instead of eating the session."""
+    import time
+
+    qr = _load_quality_run()
+    run_out = tmp_path
+    # stale metrics file: one old line
+    (run_out / "metrics.jsonl").write_text(
+        json.dumps({"ts": time.time() - 10_000, "step": 1}) + "\n")
+
+    t0 = time.time()
+    rc = qr._run_chunk_watched([sys.executable, "-c",
+                                "import time; time.sleep(9999)"],
+                               run_out, stall_s=2, timeout_s=600)
+    assert rc == "stall"
+    assert time.time() - t0 < 180  # one 60s wait cycle + kill
+
+
+def test_run_chunk_watched_passes_through_clean_exit(tmp_path):
+    qr = _load_quality_run()
+    (tmp_path / "metrics.jsonl").write_text("")
+    rc = qr._run_chunk_watched([sys.executable, "-c", "print('ok')"],
+                               tmp_path, stall_s=2, timeout_s=600)
+    assert rc == 0
